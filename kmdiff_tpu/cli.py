@@ -1,0 +1,218 @@
+"""CLI: `kmdiff-tpu {count,diff,infos}` (reference: src/cli.cpp:23-369).
+
+Flag names, defaults, and validation ranges mirror the reference so users
+can switch with their existing command lines:
+  count: --file --run-dir --kmer-size --hard-min --threads ...
+  diff : --km-run-dir --output-dir --nb-controls --nb-cases --significance
+         --cutoff --correction --kff-output --in-memory --keep-tmp --save-sk
+         [popstrat: --pop-correction --kmer-pca --ploidy --n-pc
+          --covariates --gender] [dev: --learning-rate --max-iteration
+          --epsilon --stand --irls --random-seed --log-factorial]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from kmdiff_tpu import __version__
+from kmdiff_tpu.core.corrector import correction_type_from_str
+from kmdiff_tpu.utils.logging import logger, set_verbosity_level
+
+
+def _range_checker(lo, hi, kind=float):
+    def check(v):
+        x = kind(v)
+        if not (lo <= x <= hi):
+            raise argparse.ArgumentTypeError(f"Not in range [{lo}, {hi}]")
+        return x
+
+    return check
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("-t", "--threads", type=int, default=4, help="number of threads.")
+    p.add_argument(
+        "-v",
+        "--verbose",
+        default="info",
+        choices=("debug", "info", "warning", "error"),
+        help="verbosity level.",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="kmdiff-tpu",
+        description="TPU-native differential k-mer analysis "
+        "(controls vs cases populations).",
+    )
+    ap.add_argument("--version", action="version", version=f"kmdiff-tpu {__version__}")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    # ---- count (reference: src/cli.cpp count_cli + src/cmd.cpp:27-48) ------
+    cp = sub.add_parser("count", help="count k-mers with the TPU counting engine.")
+    cp.add_argument("-f", "--file", required=True, help="fof that contains samples.")
+    cp.add_argument("-d", "--run-dir", required=True, help="output directory.")
+    cp.add_argument(
+        "-k", "--kmer-size", type=_range_checker(8, 128, int), default=31,
+        help="size of k-mers, in [8, 128].",
+    )
+    cp.add_argument(
+        "-c", "--hard-min", type=int, default=1, help="min abundance to keep a k-mer."
+    )
+    cp.add_argument(
+        "-r", "--recurrence-min", type=int, default=1,
+        help="min number of samples to keep a k-mer.",
+    )
+    cp.add_argument(
+        "-m", "--minimizer-type", type=int, default=0,
+        help="minimizer type, 0=lexi, 1=freq.",
+    )
+    cp.add_argument(
+        "-s", "--minimizer-size", type=int, default=10, help="minimizer size."
+    )
+    cp.add_argument(
+        "-p", "--nb-partitions", type=int, default=0,
+        help="number of partitions (0 = auto).",
+    )
+    _add_common(cp)
+
+    # ---- diff (reference: src/cli.cpp diff_cli) ------------------------------
+    dp = sub.add_parser("diff", help="differential k-mer analysis.")
+    dp.add_argument(
+        "--km-run-dir", required=True,
+        help="kmtricks run directory (or kmdiff-tpu count output).",
+    )
+    dp.add_argument("-o", "--output-dir", default="./kmdiff_output")
+    dp.add_argument("-1", "--nb-controls", type=int, required=True,
+                    help="number of controls.")
+    dp.add_argument("-2", "--nb-cases", type=int, required=True,
+                    help="number of cases.")
+    dp.add_argument(
+        "-s", "--significance", type=_range_checker(0.0, 0.5), default=0.05,
+        help="significance threshold.",
+    )
+    dp.add_argument(
+        "-u", "--cutoff", type=float, default=1e5,
+        help="divide the significance threshold by N for the merge pre-filter.",
+    )
+    dp.add_argument(
+        "-c", "--correction", default="bonferroni",
+        choices=("bonferroni", "benjamini", "sidak", "holm", "disabled"),
+        help="significance correction.",
+    )
+    dp.add_argument("-f", "--kff-output", action="store_true",
+                    help="output significant k-mers in kff format.")
+    dp.add_argument("-m", "--in-memory", action="store_true",
+                    help="in-memory correction.")
+    dp.add_argument("--keep-tmp", action="store_true", help="keep tmp files.")
+    dp.add_argument("--save-sk", action="store_true",
+                    help="build the matrix of significant k-mers.")
+    # custom model
+    dp.add_argument("--model", default="", dest="model_lib_path",
+                    help="custom model plugin (py file or module[:factory]).")
+    dp.add_argument("--model-config", default="", help="model configuration string.")
+    # population stratification
+    dp.add_argument("--pop-correction", action="store_true",
+                    help="apply population stratification correction.")
+    dp.add_argument(
+        "--kmer-pca", type=_range_checker(0.0, 0.05), default=0.001,
+        help="proportion of k-mers used for PCA (in [0.0, 0.05]).",
+    )
+    dp.add_argument("--ploidy", type=int, default=2, help="ploidy level.")
+    dp.add_argument(
+        "--n-pc", type=_range_checker(2, 10, int), default=2,
+        help="number of principal components (in [2, 10]).",
+    )
+    dp.add_argument("--covariates", default="", help="covariates file.")
+    dp.add_argument("--gender", default="", help="gender file.")
+    # dev flags (reference: hidden params, src/cli.cpp:300-357)
+    dp.add_argument("--learning-rate", type=float, default=0.1)
+    dp.add_argument("--max-iteration", type=int, default=500)
+    dp.add_argument("--epsilon", type=float, default=1e-7)
+    dp.add_argument("--stand", action="store_true")
+    dp.add_argument("--irls", action="store_true", default=True)
+    dp.add_argument("--random-seed", type=int, default=0)
+    dp.add_argument("--log-factorial", type=int, default=10000,
+                    help="size of precomputed log-factorial table.")
+    _add_common(dp)
+
+    # ---- infos ---------------------------------------------------------------
+    ip = sub.add_parser("infos", help="build/runtime infos.")
+    _add_common(ip)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    set_verbosity_level(args.verbose)
+
+    if args.command == "infos":
+        from kmdiff_tpu.cmd.infos import main_infos
+
+        print(main_infos())
+        return 0
+
+    if args.command == "count":
+        from kmdiff_tpu.cmd.count import main_count
+        from kmdiff_tpu.cmd.options import CountOptions
+
+        opt = CountOptions(
+            fof=args.file,
+            directory=args.run_dir,
+            kmer_size=args.kmer_size,
+            hard_min=args.hard_min,
+            minimizer_type=args.minimizer_type,
+            minimizer_size=args.minimizer_size,
+            nb_partitions=args.nb_partitions,
+            nb_threads=args.threads,
+        )
+        main_count(opt, recurrence_min=args.recurrence_min)
+        return 0
+
+    if args.command == "diff":
+        from kmdiff_tpu.cmd.diff import main_diff
+        from kmdiff_tpu.cmd.options import DiffOptions
+
+        opt = DiffOptions(
+            kmtricks_dir=args.km_run_dir,
+            output_directory=args.output_dir,
+            nb_controls=args.nb_controls,
+            nb_cases=args.nb_cases,
+            threshold=args.significance,
+            cutoff=args.cutoff,
+            correction=correction_type_from_str(
+                "disabled" if args.correction == "disabled" else args.correction
+            ),
+            in_memory=args.in_memory,
+            kff=args.kff_output,
+            pop_correction=args.pop_correction,
+            kmer_pca=args.kmer_pca,
+            ploidy=args.ploidy,
+            is_diploid=args.ploidy == 2,
+            npc=args.n_pc,
+            covariates=args.covariates,
+            gender=args.gender,
+            learning_rate=args.learning_rate,
+            max_iteration=args.max_iteration,
+            epsilon=args.epsilon,
+            stand=args.stand,
+            irls=args.irls,
+            keep_tmp=args.keep_tmp,
+            seed=args.random_seed,
+            log_size=args.log_factorial,
+            save_sk=args.save_sk,
+            nb_threads=args.threads,
+            model_lib_path=args.model_lib_path,
+            model_config=args.model_config,
+        )
+        main_diff(opt)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

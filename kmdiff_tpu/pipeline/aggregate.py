@@ -1,0 +1,170 @@
+"""Final aggregation: drain accumulators, apply multiple-testing correction,
+write control/case outputs.
+
+Reference: include/kmdiff/aggregator.hpp:26-365 — a thread-pool drain feeding
+two writer threads through bounded blocking queues, with two variants:
+streaming `aggregator` (order-free correctors) and `sorted_aggregator`
+(Benjamini/Holm: global spinlocked priority queue walked in ascending-p order
+with stop-at-first-rejection).
+
+Re-design: correction over columnar p-value arrays. The order-free path is a
+vectorized mask per block; the order-dependent path is one global argsort +
+prefix-AND (kmdiff_tpu.ops.correct) — no heap, no locks, deterministic
+output order (partition-major, k-mer ascending; the reference's streaming
+variant is scheduling-order-dependent, ours is reproducible).
+
+Routing parity (aggregator.hpp:151-163, 293-303): CONTROL-signed k-mers go
+to control_kmers.{fasta|kff}; everything else (CASE and NO) to
+case_kmers.{fasta|kff}. FASTA ranks restart per file and follow write order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kmdiff_tpu.core.corrector import CorrectionType, ICorrector
+from kmdiff_tpu.core.kmer import packed_to_strings
+from kmdiff_tpu.core.model import Significance
+from kmdiff_tpu.io.accumulator import IAccumulator, KmerSignBlock
+from kmdiff_tpu.io.fasta import FastaWriter, format_header
+from kmdiff_tpu.io.kff import KffWriter
+from kmdiff_tpu.ops.correct import correction_mask_sorted
+
+
+class _OutputPair:
+    """The two routed writers (control / case)."""
+
+    def __init__(self, output_dir: str, kmer_size: int, kff: bool):
+        ext = "kff" if kff else "fasta"
+        self.kff = kff
+        self.kmer_size = kmer_size
+        cpath = os.path.join(output_dir, f"control_kmers.{ext}")
+        kpath = os.path.join(output_dir, f"case_kmers.{ext}")
+        if kff:
+            self.control = KffWriter(cpath, kmer_size)
+            self.case = KffWriter(kpath, kmer_size)
+        else:
+            self.control = FastaWriter(cpath)
+            self.case = FastaWriter(kpath)
+        self.control_count = 0
+        self.case_count = 0
+
+    def write_block(self, block: KmerSignBlock) -> None:
+        seqs = packed_to_strings(block.kmers, self.kmer_size)
+        is_control = block.signs == int(Significance.CONTROL)
+        for i, seq in enumerate(seqs):
+            if is_control[i]:
+                w, rank = self.control, self.control_count
+                self.control_count += 1
+            else:
+                w, rank = self.case, self.case_count
+                self.case_count += 1
+            if self.kff:
+                w.write_kmer(seq)
+            else:
+                w.write(
+                    format_header(
+                        rank, block.pvalues[i], block.mean_control[i], block.mean_case[i]
+                    ),
+                    seq,
+                )
+
+    def close(self):
+        self.control.close()
+        self.case.close()
+
+
+class Aggregator:
+    """Single entry point replacing both reference aggregator variants."""
+
+    def __init__(
+        self,
+        accumulators: list[IAccumulator],
+        corrector: ICorrector,
+        kmer_size: int,
+        output_dir: str,
+        kff: bool = False,
+        threshold: float = 0.0,
+        total_kmers: int = 0,
+        progress=None,
+    ):
+        self.accs = accumulators
+        self.corrector = corrector
+        self.kmer_size = kmer_size
+        self.output_dir = output_dir
+        self.kff = kff
+        self.threshold = threshold
+        self.total = total_kmers
+        self.progress = progress
+        self.control_count = 0
+        self.case_count = 0
+
+    def counts(self) -> tuple[int, int]:
+        return self.control_count, self.case_count
+
+    def run(self) -> None:
+        out = _OutputPair(self.output_dir, self.kmer_size, self.kff)
+        try:
+            if self.corrector.order_dependent:
+                self._run_sorted(out)
+            else:
+                self._run_streaming(out)
+        finally:
+            out.close()
+        self.control_count = out.control_count
+        self.case_count = out.case_count
+
+    # -- order-free correctors: vectorized mask per block ---------------------
+
+    def _run_streaming(self, out: _OutputPair) -> None:
+        ctype = self.corrector.type()
+        for acc in self.accs:
+            for block in acc.blocks():
+                # stateless predicates: the sorted-mask helper applied to an
+                # unsorted array is the plain elementwise rule
+                keep = correction_mask_sorted(
+                    block.pvalues, ctype, self.threshold, self.total
+                )
+                if keep.any():
+                    out.write_block(block.take(np.nonzero(keep)[0]))
+            if self.progress is not None:
+                self.progress.tick()
+
+    # -- order-dependent correctors: global sort + prefix walk ----------------
+
+    def _run_sorted(self, out: _OutputPair) -> None:
+        blocks = []
+        for acc in self.accs:
+            blocks.extend(acc.blocks())
+            if self.progress is not None:
+                self.progress.tick()
+        if not blocks:
+            return
+        allb = KmerSignBlock.concat(blocks)
+        order = np.argsort(allb.pvalues, kind="stable")
+        mask = correction_mask_sorted(
+            allb.pvalues[order], self.corrector.type(), self.threshold, self.total
+        )
+        survivors = order[mask]
+        if len(survivors):
+            out.write_block(allb.take(survivors))
+
+
+def make_aggregator(
+    accumulators: list[IAccumulator],
+    corrector: ICorrector,
+    kmer_size: int,
+    output_dir: str,
+    kff: bool,
+    threshold: float,
+    total_kmers: int,
+    progress=None,
+) -> Aggregator:
+    """Factory kept for reference-shape parity (aggregator.hpp:343-365);
+    variant selection now lives on ICorrector.order_dependent."""
+    return Aggregator(
+        accumulators, corrector, kmer_size, output_dir, kff, threshold,
+        total_kmers, progress,
+    )

@@ -1,0 +1,290 @@
+"""Partition merge + differential test: the framework's hot path.
+
+The reference merges S sorted per-sample count files per partition with a
+k-way heap merge, invoking the Poisson LRT once per distinct k-mer inside
+the merge callback (reference: include/kmdiff/merge.hpp:44-432,
+kmtricks KmerMerger). That design is a scalar pointer-chasing loop — the
+exact shape TPUs are worst at.
+
+Re-design (TPU-first):
+  1. every per-sample stream is decoded to columnar arrays (kmers, counts);
+  2. the S-way merge becomes one vectorized sort-unique-scatter producing a
+     dense [U, S] count matrix per partition (no heap, no per-row branch);
+  3. the LRT runs as a blocked device kernel over fixed [BLOCK, S] tiles
+     (kmdiff_tpu.ops.lrt) with a monotone LR threshold replacing the
+     per-row chi-square transcendental;
+  4. only survivors come back to host, where the exact f64 model rescorer
+     (kmdiff_tpu.core.model) reproduces kmdiff's p-values bit-for-bit.
+
+Partitions are embarrassingly parallel (reference: merge.hpp:259-309); here
+they stream through a thread pool that overlaps file IO + host merge with
+device compute, and across hosts they shard over the jax process mesh
+(kmdiff_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import threading
+
+import numpy as np
+
+from kmdiff_tpu.core.model import IModel, PoissonLikelihood, Significance
+from kmdiff_tpu.io.accumulator import IAccumulator, KmerSignBlock
+from kmdiff_tpu.io.kmtricks import read_kmer_file, read_matrix_file
+from kmdiff_tpu.ops.lrt import LrtParams, run_filter
+from kmdiff_tpu.utils.logging import logger
+
+#: device tile height; fixed so the jitted kernel compiles once
+BLOCK_ROWS = 1 << 17
+
+
+def merge_sorted_streams(
+    kmers_list: list[np.ndarray],
+    counts_list: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union-merge S sorted (kmers, counts) streams into a dense count matrix.
+
+    Replaces the kmtricks KmerMerger heap walk (reference: merge.hpp:265-266
+    with ab_mins=1, recurrence_min=1 — i.e. the plain union) with one
+    vectorized pass:
+
+      concat -> lexsort by packed words -> run-boundary flags -> row ids ->
+      scatter counts into [U, S]
+
+    Returns (kmers [U, n_words] uint64 ascending, counts [U, S] uint32).
+    """
+    S = len(kmers_list)
+    nw = kmers_list[0].shape[1] if kmers_list else 1
+    sizes = [len(k) for k in kmers_list]
+    N = int(np.sum(sizes))
+    if N == 0:
+        return np.zeros((0, nw), dtype=np.uint64), np.zeros((0, S), dtype=np.uint32)
+
+    all_kmers = np.concatenate(kmers_list, axis=0)
+    all_counts = np.concatenate(counts_list, axis=0)
+    sample_idx = np.repeat(np.arange(S, dtype=np.int32), sizes)
+
+    # lexicographic order over words (word 0 major). Views the row bytes as
+    # big-endian so a single void-dtype argsort handles any word count.
+    if all_kmers.shape[1] == 1:
+        order = np.argsort(all_kmers[:, 0], kind="stable")
+    else:
+        keys = np.ascontiguousarray(all_kmers.astype(">u8"))
+        order = np.argsort(keys.view(f"V{nw * 8}").ravel(), kind="stable")
+
+    sk = all_kmers[order]
+    new_row = np.empty(N, dtype=bool)
+    new_row[0] = True
+    np.any(sk[1:] != sk[:-1], axis=1, out=new_row[1:])
+    row_id = np.cumsum(new_row) - 1
+    U = int(row_id[-1]) + 1
+
+    counts = np.zeros((U, S), dtype=np.uint32)
+    counts[row_id, sample_idx[order]] = all_counts[order]
+    return sk[new_row], counts
+
+
+@dataclasses.dataclass
+class PartitionResult:
+    partition: int
+    total_kmers: int
+    nb_sign: int
+    sign_controls: int
+    sign_cases: int
+
+
+class PartitionProcessor:
+    """Runs one partition: load -> union merge -> device filter -> exact
+    rescore -> accumulate (reference observer: merge.hpp:68-103)."""
+
+    def __init__(
+        self,
+        model: IModel,
+        nb_controls: int,
+        nb_cases: int,
+        threshold: float,
+        keep_counts: bool = False,
+        sampler=None,
+        save_matrix_path: str | None = None,
+    ):
+        self.model = model
+        self.nb_controls = nb_controls
+        self.nb_cases = nb_cases
+        self.threshold = threshold
+        self.keep_counts = keep_counts  # store survivor count rows (popstrat)
+        self.sampler = sampler
+        self.save_matrix_path = save_matrix_path
+        self._fast = isinstance(model, PoissonLikelihood)
+        if self._fast:
+            self.params = LrtParams(
+                nb_controls,
+                nb_cases,
+                model.sum_controls,
+                model.sum_cases,
+                threshold,
+            )
+
+    # -- block scoring -------------------------------------------------------
+
+    def _score_block(self, kmers: np.ndarray, counts: np.ndarray):
+        """Score [B, S] rows; returns survivor KmerSignBlock + sign tallies."""
+        B = counts.shape[0]
+        if self._fast:
+            # device bulk filter in fixed tiles; host exact rescore of hits
+            keep = np.zeros(B, dtype=bool)
+            s_c = np.zeros(B, dtype=np.int64)
+            s_k = np.zeros(B, dtype=np.int64)
+            for lo in range(0, B, BLOCK_ROWS):
+                hi = min(B, lo + BLOCK_ROWS)
+                tile = counts[lo:hi]
+                if hi - lo < BLOCK_ROWS:
+                    tile = np.concatenate(
+                        [tile, np.zeros((BLOCK_ROWS - (hi - lo), counts.shape[1]),
+                                        dtype=counts.dtype)]
+                    )
+                k, _lr, sc, sk_ = run_filter(self.params, tile)
+                keep[lo:hi] = k[: hi - lo]
+                s_c[lo:hi] = sc[: hi - lo]
+                s_k[lo:hi] = sk_[: hi - lo]
+            idx = np.nonzero(keep)[0]
+            p, sg, mc, mk = self.model.process_sums(s_c[idx], s_k[idx])
+            final = p <= self.threshold
+            idx = idx[final]
+            p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+        else:
+            # custom models score every row on host (plugin path,
+            # reference: model_manager.hpp)
+            p, sg, mc, mk = self.model.process_block(counts, self.nb_controls)
+            keep = p <= self.threshold
+            idx = np.nonzero(keep)[0]
+            p, sg, mc, mk = p[idx], sg[idx], mc[idx], mk[idx]
+
+        block = KmerSignBlock(
+            kmers[idx],
+            np.asarray(p, dtype=np.float64),
+            np.asarray(sg, dtype=np.int8),
+            np.asarray(mc, dtype=np.float64),
+            np.asarray(mk, dtype=np.float64),
+            counts[idx].astype(np.float64) if self.keep_counts else None,
+        )
+        n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
+        return block, n_ctrl, len(block) - n_ctrl
+
+    # -- partition entry points ----------------------------------------------
+
+    def process_arrays(
+        self,
+        partition: int,
+        kmers: np.ndarray,
+        counts: np.ndarray,
+        acc: IAccumulator,
+        kmer_size: int = 0,
+    ) -> PartitionResult:
+        if self.sampler is not None:
+            self.sampler.sample_block(partition, kmers, counts, self.nb_controls)
+        if self.save_matrix_path is not None and kmer_size:
+            from kmdiff_tpu.io.kmtricks import write_matrix_file
+
+            write_matrix_file(
+                f"{self.save_matrix_path}/matrix_{partition}.count.lz4",
+                kmers,
+                counts,
+                kmer_size,
+                partition,
+            )
+        block, n_ctrl, n_case = self._score_block(kmers, counts)
+        acc.push_block(block)
+        acc.finish()
+        return PartitionResult(partition, len(counts), len(block), n_ctrl, n_case)
+
+    def process_files(
+        self, partition: int, paths: list[str], acc: IAccumulator
+    ) -> PartitionResult:
+        kmers_list, counts_list, ksize = [], [], 0
+        for path in paths:
+            info, kmers, counts = read_kmer_file(path)
+            ksize = info.kmer_size
+            kmers_list.append(kmers)
+            counts_list.append(counts)
+        kmers, counts = merge_sorted_streams(kmers_list, counts_list)
+        return self.process_arrays(partition, kmers, counts, acc, ksize)
+
+    def process_matrix(
+        self, partition: int, path: str, acc: IAccumulator
+    ) -> PartitionResult:
+        info, kmers, counts = read_matrix_file(path)
+        return self.process_arrays(partition, kmers, counts, acc, info.kmer_size)
+
+
+class GlobalMerge:
+    """All-partition merge orchestration (reference: merge.hpp:209-432
+    global_merge). Partitions run on a host thread pool: numpy merges and
+    file IO overlap while device tiles queue behind a single TPU stream."""
+
+    def __init__(
+        self,
+        processor: PartitionProcessor,
+        accumulators: list[IAccumulator],
+        nb_threads: int = 4,
+        progress=None,
+    ):
+        self.processor = processor
+        self.accs = accumulators
+        self.nb_threads = max(1, nb_threads)
+        self.progress = progress
+        self.results: list[PartitionResult] = []
+
+    def _run(self, jobs) -> list[PartitionResult]:
+        results: list[PartitionResult | None] = [None] * len(jobs)
+        lock = threading.Lock()
+
+        def task(i, fn):
+            r = fn()
+            with lock:
+                results[i] = r
+                if self.progress is not None:
+                    self.progress.tick()
+            return r
+
+        if self.nb_threads == 1:
+            for i, fn in enumerate(jobs):
+                task(i, fn)
+        else:
+            with cf.ThreadPoolExecutor(self.nb_threads) as pool:
+                futs = [pool.submit(task, i, fn) for i, fn in enumerate(jobs)]
+                for f in futs:
+                    f.result()  # re-raise worker exceptions
+        self.results = results  # type: ignore[assignment]
+        return self.results
+
+    def merge_partitions(self, partition_paths: list[list[str]]) -> int:
+        jobs = [
+            (lambda p=p, paths=paths: self.processor.process_files(
+                p, paths, self.accs[p]))
+            for p, paths in enumerate(partition_paths)
+        ]
+        self._run(jobs)
+        return self.total_kmers()
+
+    def merge_matrices(self, matrix_paths: list[str]) -> int:
+        jobs = [
+            (lambda p=p, path=path: self.processor.process_matrix(
+                p, path, self.accs[p]))
+            for p, path in enumerate(matrix_paths)
+        ]
+        self._run(jobs)
+        return self.total_kmers()
+
+    def total_kmers(self) -> int:
+        return sum(r.total_kmers for r in self.results)
+
+    def nb_sign(self) -> int:
+        return sum(r.nb_sign for r in self.results)
+
+    def signs(self) -> tuple[int, int]:
+        return (
+            sum(r.sign_controls for r in self.results),
+            sum(r.sign_cases for r in self.results),
+        )

@@ -32,6 +32,10 @@ def get_logger() -> logging.Logger:
     return logger
 
 
+#: module-level logger shared by the pipeline
+logger = get_logger()
+
+
 def set_verbosity_level(level: str) -> None:
     if level not in _LEVELS:
         raise ValueError(f"unknown verbosity level: {level}")

@@ -9,6 +9,12 @@ def get_peak_rss() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
 
+def get_peak_rss_mb() -> int:
+    """Peak RSS in MB as the reference reports it at exit
+    (diff.hpp:372-376: KiB * 0.0009765625)."""
+    return int(get_peak_rss() * 0.0009765625)
+
+
 def get_current_rss() -> int:
     """Current resident set size in KiB, from /proc/self/statm."""
     try:

@@ -1,0 +1,164 @@
+"""End-to-end `diff` tests over the reference's checked-in kmtricks run dir.
+
+Coverage the reference lacks (SURVEY.md §4): full-pipeline golden assertions
+on outputs, resume semantics, and option-manifest redo logic.
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from kmdiff_tpu.cmd.diff import main_diff
+from kmdiff_tpu.cmd.options import DiffOptions, compare_options, load_options
+from kmdiff_tpu.core.corrector import CorrectionType
+from kmdiff_tpu.io.fasta import read_fasta
+
+
+def _opts(fixture_dir, out, **kw):
+    base = dict(
+        kmtricks_dir=str(fixture_dir),
+        output_directory=str(out),
+        nb_controls=1,
+        nb_cases=1,
+        threshold=0.05,
+        cutoff=1e5,
+        correction=CorrectionType.BONFERRONI,
+        nb_threads=2,
+    )
+    base.update(kw)
+    return DiffOptions(**base)
+
+
+def test_diff_default_no_significant(fixture_dir, tmp_path):
+    # reference golden: 320 tested, 0 significant at alpha/cutoff
+    res = main_diff(_opts(fixture_dir, tmp_path / "out"))
+    assert res["total_kmers"] == 320
+    assert res["control"] == 0 and res["case"] == 0
+    assert (tmp_path / "out" / "control_kmers.fasta").exists()
+    assert (tmp_path / "out" / "case_kmers.fasta").exists()
+    assert read_fasta(tmp_path / "out" / "control_kmers.fasta") == []
+
+
+def test_diff_disabled_correction_cutoff_1(fixture_dir, tmp_path):
+    """cutoff=1 + disabled correction keeps everything with p < alpha."""
+    res = main_diff(
+        _opts(
+            fixture_dir,
+            tmp_path / "out",
+            threshold=0.5,
+            cutoff=1.0,
+            correction=CorrectionType.NOTHING,
+        )
+    )
+    assert res["total_kmers"] == 320
+    n_out = res["control"] + res["case"]
+    control = read_fasta(tmp_path / "out" / "control_kmers.fasta")
+    case = read_fasta(tmp_path / "out" / "case_kmers.fasta")
+    assert len(control) == res["control"]
+    assert len(case) == res["case"]
+    assert n_out > 0
+    # every k-mer is 20bp and headers carry p < threshold (strict, output
+    # filter is p < alpha while merge keeps p <= alpha/cutoff)
+    for name, seq in control + case:
+        assert len(seq) == 20
+        p = float(name.split("pval=")[1].split("_")[0])
+        assert p < 0.5
+
+
+def test_diff_resume_skips_merge(fixture_dir, tmp_path):
+    out = tmp_path / "out"
+    opt = _opts(fixture_dir, out, keep_tmp=True)
+    res1 = main_diff(opt)
+    manifest = json.loads((out / "options.json").read_text())
+    assert manifest["total_kmers"] == 320
+
+    spill = out / "partitions" / "p0_uncorrected"
+    assert spill.exists()
+    t0 = spill.stat().st_mtime_ns
+
+    # identical rerun: merge skipped -> spill untouched
+    res2 = main_diff(_opts(fixture_dir, out, keep_tmp=True))
+    assert spill.stat().st_mtime_ns == t0
+    assert res2["total_kmers"] == res1["total_kmers"]
+
+    # threshold change -> redo merge -> spill rewritten
+    res3 = main_diff(
+        _opts(fixture_dir, out, keep_tmp=True, threshold=0.4, cutoff=1.0,
+              correction=CorrectionType.NOTHING)
+    )
+    assert spill.stat().st_mtime_ns != t0
+    assert res3["total_kmers"] == 320
+    assert res3["control"] + res3["case"] > 0
+
+
+def test_compare_options_bitmask():
+    a = DiffOptions(threshold=0.05, cutoff=10, correction=CorrectionType.BONFERRONI)
+    b = DiffOptions(threshold=0.05, cutoff=10, correction=CorrectionType.BONFERRONI)
+    assert compare_options(a, b) == 0
+    b2 = DiffOptions(threshold=0.01, cutoff=10)
+    assert compare_options(b2, a) & 0b1
+    b3 = DiffOptions(cutoff=10, correction=CorrectionType.HOLM)
+    assert compare_options(b3, a) == 0b100
+    b4 = DiffOptions(cutoff=10, pop_correction=True)
+    assert compare_options(b4, a) == 0b11
+
+
+def test_cli_diff(fixture_dir, tmp_path):
+    from kmdiff_tpu.cli import main
+
+    out = tmp_path / "cli_out"
+    rc = main([
+        "diff",
+        "--km-run-dir", str(fixture_dir),
+        "-o", str(out),
+        "-1", "1",
+        "-2", "1",
+        "-s", "0.05",
+    ])
+    assert rc == 0
+    assert (out / "control_kmers.fasta").exists()
+    assert json.loads((out / "options.json").read_text())["total_kmers"] == 320
+
+
+def test_cli_infos(capsys):
+    from kmdiff_tpu.cli import main
+
+    assert main(["infos"]) == 0
+    out = capsys.readouterr().out
+    assert "kmdiff-tpu" in out
+    assert "jax" in out
+
+
+def test_diff_kff_output(fixture_dir, tmp_path):
+    from kmdiff_tpu.io.kff import KffReader
+
+    res = main_diff(
+        _opts(
+            fixture_dir,
+            tmp_path / "out",
+            threshold=0.5,
+            cutoff=1.0,
+            correction=CorrectionType.NOTHING,
+            kff=True,
+        )
+    )
+    with KffReader(str(tmp_path / "out" / "case_kmers.kff")) as r:
+        kmers = list(r.kmers())
+    assert len(kmers) == res["case"]
+    assert all(len(s) == 20 for s in kmers)
+
+
+def test_diff_save_sk(fixture_dir, tmp_path):
+    from kmdiff_tpu.io.kmtricks import read_matrix_file
+
+    main_diff(_opts(fixture_dir, tmp_path / "out", save_sk=True))
+    mdir = tmp_path / "out" / "positive_kmer_matrix" / "matrices"
+    files = sorted(os.listdir(mdir))
+    assert files == [f"matrix_{i}.count.lz4" for i in range(4)]
+    info, kmers, counts = read_matrix_file(str(mdir / files[0]))
+    assert info.kmer_size == 20
+    assert counts.shape[1] == 2
+    assert len(kmers) > 0
