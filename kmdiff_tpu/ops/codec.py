@@ -1,0 +1,148 @@
+"""Device (JAX) k-mer extraction kernels: the counting engine's compute path.
+
+Replaces the reference's kmtricks counting internals (FASTA parse ->
+super-k-mers -> minimizer repartition -> per-partition count; reference:
+SURVEY.md §2.2, invoked at src/cmd.cpp:34-44) with a TPU-shaped dataflow:
+
+  host: ascii reads -> 2-bit codes (+invalid marks), reads joined with one
+        invalid separator byte so no window spans two reads
+  device (this module, all fixed-shape jit):
+        codes[BLOCK] -> rolling 2k-bit k-mer values in u32 lanes
+                     -> reverse-complement + canonical select (bit ops)
+                     -> partition id via an avalanche hash
+        sorted count: lax.sort over (hi, lo) u32 key pairs + run-length
+        boundary flags
+  host: mask-compact survivors, run-length encode, spill per-partition
+        sorted count files
+
+Design notes (TPU-first):
+  * k-mers live as TWO u32 lanes (hi, lo) for k <= 32 — native TPU int
+    width; value hi*2^32+lo equals the host codec's packed u64
+    (kmdiff_tpu.core.kmer), so numeric order == lexicographic order and
+    host interop is a shift-or.
+  * windows are computed as k shifted vector adds (VPU) rather than a
+    sequential rolling scan — O(k·N) elementwise work, fully parallel,
+    fused by XLA into a few passes over the block.
+  * partitioning uses a murmur3-style avalanche of the canonical value
+    modulo P instead of kmtricks' minimizer repartition: same contract
+    (deterministic k-mer -> partition across samples), better balance, no
+    repartition pre-pass. Minimizer locality only matters for super-k-mer
+    compression, which the dense-array pipeline does not need.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: sentinel code for invalid bases / read separators (valid codes are 0..3)
+INVALID = np.uint8(0xFF)
+
+
+def encode_ascii_block(seq_bytes: np.ndarray) -> np.ndarray:
+    """Host helper: ascii -> codes with INVALID for non-ACGT."""
+    from kmdiff_tpu.core.kmer import encode_bases
+
+    codes, valid = encode_bases(seq_bytes)
+    return np.where(valid, codes, INVALID)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical_kmers(codes: jax.Array, k: int):
+    """All k-windows of a code block as canonical (hi, lo) u32 pairs.
+
+    codes: [N] uint8 with INVALID marking non-ACGT bases and read breaks.
+    Returns (hi [W] u32, lo [W] u32, ok [W] bool) with W = N - k + 1.
+    A window is ok iff it contains no INVALID byte.
+
+    k <= 32. First base occupies the highest-order bits of the 2k-bit
+    value (kmtricks packing; reference kmer ordering relies on this).
+    """
+    if k > 32:
+        raise ValueError("device codec fast path supports k <= 32")
+    N = codes.shape[0]
+    W = N - k + 1
+    c32 = codes.astype(jnp.uint32)
+    bad = (codes == INVALID).astype(jnp.int32)
+
+    # window validity via prefix sums of invalid marks
+    cum = jnp.cumsum(bad)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), cum])
+    ok = (cum[k:] - cum[:-k]) == 0
+
+    base = jnp.where(codes == INVALID, 0, c32)
+
+    fwd_hi = jnp.zeros(W, jnp.uint32)
+    fwd_lo = jnp.zeros(W, jnp.uint32)
+    rc_hi = jnp.zeros(W, jnp.uint32)
+    rc_lo = jnp.zeros(W, jnp.uint32)
+    for j in range(k):
+        cj = jax.lax.slice(base, (j,), (j + W,))
+        shift = 2 * (k - 1 - j)  # forward: base j at bits [shift, shift+2)
+        if shift >= 32:
+            fwd_hi = fwd_hi | (cj << (shift - 32))
+        else:
+            fwd_lo = fwd_lo | (cj << shift)
+        rj = cj ^ 2  # complement: A<->T (0<->2), C<->G (1<->3)
+        rshift = 2 * j  # rc places base j at bits [2j, 2j+2)
+        if rshift >= 32:
+            rc_hi = rc_hi | (rj << (rshift - 32))
+        else:
+            rc_lo = rc_lo | (rj << rshift)
+
+    take_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
+    hi = jnp.where(take_rc, rc_hi, fwd_hi)
+    lo = jnp.where(take_rc, rc_lo, fwd_lo)
+    return hi, lo, ok
+
+
+def _avalanche(h: jax.Array) -> jax.Array:
+    """murmur3 fmix32 finalizer — full-avalanche u32 mixer."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("nb_partitions",))
+def partition_ids(hi: jax.Array, lo: jax.Array, nb_partitions: int) -> jax.Array:
+    """Deterministic k-mer -> partition mapping (replaces kmtricks minimizer
+    repartition; same cross-sample-consistency contract)."""
+    h = _avalanche(lo ^ _avalanche(hi ^ jnp.uint32(0x9E3779B9)))
+    return (h % jnp.uint32(nb_partitions)).astype(jnp.uint32)
+
+
+@jax.jit
+def sort_kmers_with_parts(part: jax.Array, hi: jax.Array, lo: jax.Array):
+    """Device sort by (partition, hi, lo) + run-start flags.
+
+    Returns (part_s, hi_s, lo_s, is_start [N] bool). Counting is then a
+    host run-length over the boundary flags.
+    """
+    part_s, hi_s, lo_s = jax.lax.sort((part, hi, lo), num_keys=3)
+    first = jnp.ones(1, dtype=bool)
+    rest = (
+        (part_s[1:] != part_s[:-1])
+        | (hi_s[1:] != hi_s[:-1])
+        | (lo_s[1:] != lo_s[:-1])
+    )
+    return part_s, hi_s, lo_s, jnp.concatenate([first, rest])
+
+
+def hi_lo_to_u64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Host: (hi, lo) u32 lanes -> packed u64 words (core.kmer layout,
+    [n, 1] for k <= 32)."""
+    v = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    return v[:, None]
+
+
+def u64_to_hi_lo(kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    v = kmers[:, 0]
+    return (v >> np.uint64(32)).astype(np.uint32), (
+        v & np.uint64(0xFFFFFFFF)
+    ).astype(np.uint32)
