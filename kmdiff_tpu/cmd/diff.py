@@ -201,6 +201,23 @@ def main_diff(opt: DiffOptions) -> dict:
 
         accumulators = do_pop(opt, config, accumulators, pop_dir, part_dir)
         redo_c = True
+    elif opt.pop_correction and prev_2:
+        # resume with intact popstrat spills: aggregate the CORRECTED hits
+        # (the reference keeps aggregating the uncorrected accumulators
+        # here — diff.hpp:355-364 never re-points them — which silently
+        # drops the correction; fixed)
+        for acc in accumulators:
+            acc.destroy()
+        accumulators = [
+            FileAccumulator(
+                os.path.join(part_dir, f"p{i}_popstrat_uncorrected"),
+                config.kmer_size,
+                read=True,
+                delete_on_destroy=not opt.keep_tmp,
+                nb_samples=nb_samples,
+            )
+            for i in range(config.nb_partitions)
+        ]
 
     counts = (0, 0)
     if (not prev_f or action > 0) or redo_c:

@@ -1,0 +1,394 @@
+"""Population-stratification correction pipeline.
+
+Reference: include/kmdiff/popstrat.hpp + src/popstrat.cpp — the do_pop
+stage: (1) during merge, Bernoulli-sample k-mers into an Eigenstrat geno
+matrix; (2) run smartpca + evec2pca subprocesses for per-sample PCs;
+(3) fit a null logistic model [1 | PCs | covariates | gender | totals] ->
+label once; (4) per significant k-mer, fit an alt model with one extra
+feature (count/total per sample) and correct the p-value via the
+likelihood ratio.
+
+TPU re-design:
+  * sampling is DETERMINISTIC: a k-mer is sampled iff its avalanche hash
+    (keyed by --random-seed) falls below kmer_pca * 2^32 — reproducible
+    regardless of thread scheduling (the reference's std::uniform draw is
+    thread-order-dependent, cli.cpp:349-352).
+  * PCA runs in-process on device (kmdiff_tpu.ops.pca); Eigenstrat text
+    artifacts (.geno/.snp/.ind/.total/parfile/pcs.evec) are still written
+    for interop/debugging parity.
+  * the per-k-mer alt fits run as ONE batched device IRLS
+    (kmdiff_tpu.ops.glm) instead of a scalar fit per k-mer per thread.
+
+Reference divergences (both are reference *bugs*, reproduced as intended
+behavior instead):
+  * when every sample has known gender the reference writes the totals
+    feature one slot past the allocated row (popstrat.cpp:298-306, an
+    out-of-bounds std::vector write); we size the feature matrix to hold
+    both gender and totals.
+  * the reference's standardize() divides feature columns by
+    stddev[row_index] (popstrat.cpp:331-369); we standardize each column
+    by its own stddev. The reference also force-enables standardization
+    (s_stand=true cannot be unset, popstrat.hpp:150-176 set_params);
+    we honor --stand (default off, like the CLI flag suggests).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+
+from kmdiff_tpu.core.linear_model import glm_irls, glm_newton_raphson, sigmoid
+from kmdiff_tpu.core.model import chi2_sf1
+from kmdiff_tpu.io.accumulator import FileAccumulator, KmerSignBlock
+from kmdiff_tpu.utils.logging import logger
+from kmdiff_tpu.utils.timer import Timer
+
+_SAMPLE_SEED = np.uint32(0x51ED2700)
+
+
+def _avalanche_np(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def sample_mask(kmers: np.ndarray, rate: float, seed: int) -> np.ndarray:
+    """Deterministic Bernoulli(rate) mask keyed on the k-mer value."""
+    with np.errstate(over="ignore"):
+        h = np.full(len(kmers), _SAMPLE_SEED ^ np.uint32(seed), dtype=np.uint32)
+        for w in range(kmers.shape[1]):
+            hi = (kmers[:, w] >> np.uint64(32)).astype(np.uint32)
+            lo = (kmers[:, w] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            h = _avalanche_np(hi ^ h)
+            h = _avalanche_np(lo ^ h)
+    return h < np.uint32(min(rate, 1.0) * 4294967295.0)
+
+
+class GenoSampler:
+    """Collects the sampled presence matrix during merge and writes the
+    Eigenstrat artifacts (reference: EigGenoFile/EigSnpFile/Sampler,
+    popstrat.hpp:56-146). Thread-safe; rows are kept per partition and
+    concatenated in partition order so output is deterministic."""
+
+    def __init__(self, pop_dir: str, rate: float, seed: int, nb_samples: int):
+        self.pop_dir = pop_dir
+        self.rate = rate
+        self.seed = seed
+        self.nb_samples = nb_samples
+        self._rows: dict[int, np.ndarray] = {}
+        self._lock = threading.Lock()
+        self.geno: np.ndarray | None = None
+
+    def sample_block(self, partition: int, kmers: np.ndarray,
+                     counts: np.ndarray, nb_controls: int) -> None:
+        mask = sample_mask(kmers, self.rate, self.seed)
+        presence = (counts[mask] > 0).astype(np.uint8)
+        with self._lock:
+            self._rows[partition] = presence
+
+    def close(self) -> None:
+        parts = [self._rows[p] for p in sorted(self._rows)]
+        self.geno = (
+            np.concatenate(parts)
+            if parts
+            else np.zeros((0, self.nb_samples), np.uint8)
+        )
+        geno_path = os.path.join(self.pop_dir, "gwas_eigenstratX.geno")
+        snp_path = os.path.join(self.pop_dir, "gwas_eigenstratX.snp")
+        with open(geno_path, "w") as g, open(snp_path, "w") as s:
+            for i, row in enumerate(self.geno):
+                g.write("\t".join("1" if v else "0" for v in row) + "\t\n")
+                s.write(f"{i}\t1\t0.0\t0\n")
+
+
+def write_parfile(path: str) -> None:
+    """Parity artifact (reference: popstrat.hpp:28-37, popstrat.cpp:9-15)."""
+    entries = {
+        "genotypename": "gwas_eigenstratX.geno",
+        "snpname": "gwas_eigenstratX.snp",
+        "indivname": "gwas_eigenstratX.ind",
+        "evecoutname": "gwas_eigenstrat.evec",
+        "evaloutname": "gwas_eigenstrat.eval",
+        "usenorm": "YES",
+        "numoutlieriter": "0",
+        "numoutevec": "10",
+    }
+    with open(path, "w") as f:
+        for k, v in sorted(entries.items()):
+            f.write(f"{k}: {v}\n")
+
+
+def write_gwas_info(fof, path: str, nb_controls: int, gender: dict[str, str]):
+    """.ind files (reference: src/popstrat.cpp:17-88)."""
+    parent = os.path.dirname(path)
+    with open(path, "w") as out, \
+            open(os.path.join(parent, "control.ind"), "w") as co, \
+            open(os.path.join(parent, "case.ind"), "w") as ca:
+        for i, e in enumerate(fof.entries):
+            g = gender.get(e.id, "U")
+            label = "Control" if i < nb_controls else "Case"
+            line = f"{e.id}\t{g}\t{label}\n"
+            out.write(line)
+            (co if i < nb_controls else ca).write(line)
+
+
+def write_totals(path: str, total_controls, total_cases) -> None:
+    with open(path, "w") as f:
+        for t in list(total_controls) + list(total_cases):
+            f.write(f"{t}\n")
+
+
+def write_pcs_evec(path: str, Z: np.ndarray) -> None:
+    """pcs.evec: one row per sample, n_evec PC columns
+    (reference: src/popstrat.cpp:114-134 output of evec2pca)."""
+    with open(path, "w") as f:
+        for row in Z:
+            f.write("".join(f" {v: .4f}" for v in row) + "\n")
+
+
+def load_gender_file(path: str) -> dict[str, str]:
+    """gender file: lines '<sample_id> <M|F|U>' (reference:
+    src/popstrat.cpp:22-42)."""
+    out = {}
+    if not path:
+        return out
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                g = parts[1][0].upper()
+                if g not in "MFU":
+                    raise ValueError(f"Unknown gender: {parts[1]}")
+                out[parts[0]] = g
+    return out
+
+
+def load_covariates_file(path: str, nb_samples: int) -> np.ndarray | None:
+    """covariates: whitespace-separated doubles, row-major
+    [nb_samples, n_cov] (reference: src/popstrat.cpp:178-226)."""
+    if not path:
+        return None
+    raw = np.loadtxt(path, dtype=np.float64).ravel()
+    if len(raw) % nb_samples:
+        raise ValueError(
+            f"covariate count {len(raw)} not divisible by {nb_samples} samples"
+        )
+    return raw.reshape(nb_samples, len(raw) // nb_samples)
+
+
+class PopStratCorrector:
+    """Null/alt logistic LRT corrector (reference: pop_strat_corrector,
+    popstrat.hpp:147-367, src/popstrat.cpp:136-370)."""
+
+    def __init__(self, nb_controls: int, nb_cases: int, total_controls,
+                 total_cases, npc: int, *, stand: bool = False,
+                 irls: bool = True, learning_rate: float = 0.1,
+                 max_iteration: int = 500, epsilon: float = 1e-7):
+        self.nb_controls = nb_controls
+        self.nb_cases = nb_cases
+        self.size = nb_controls + nb_cases
+        self.totals = np.asarray(
+            list(total_controls) + list(total_cases), dtype=np.float64
+        )
+        self.npc = npc
+        self.stand = stand
+        self.irls = irls
+        self.learning_rate = learning_rate
+        self.max_iteration = max_iteration
+        self.epsilon = epsilon
+        # label: Control -> 1, Case -> 0 (src/popstrat.cpp:164-172)
+        self.Y = np.concatenate(
+            [np.ones(nb_controls), np.zeros(nb_cases)]
+        )
+        self.Z: np.ndarray | None = None
+        self.C: np.ndarray | None = None
+        self.ginfo: np.ndarray | None = None
+        self.null_features: np.ndarray | None = None
+        self.alt_features: np.ndarray | None = None
+        self.null_model: np.ndarray | None = None
+        self.null_loglik: float = 0.0
+
+    def set_Z(self, Z: np.ndarray) -> None:
+        self.Z = np.asarray(Z, dtype=np.float64)
+
+    def set_covariates(self, C: np.ndarray | None) -> None:
+        self.C = None if C is None else np.asarray(C, dtype=np.float64)
+
+    def set_gender(self, ginfo: np.ndarray | None) -> None:
+        """ginfo: per-sample 1(M)/0(F), or None when any sample unknown
+        (the reference only uses gender when ALL are known,
+        popstrat.cpp:293-311)."""
+        self.ginfo = None if ginfo is None else np.asarray(ginfo, np.float64)
+
+    def init_global_features(self) -> None:
+        cols = [np.ones(self.size)]
+        cols.append(self.Z[:, : self.npc])
+        if self.C is not None:
+            cols.append(self.C)
+        if self.ginfo is not None:
+            cols.append(self.ginfo[:, None])
+        cols.append(self.totals[:, None])
+        null = np.column_stack(cols)
+
+        if self.stand:
+            mean = null[:, 1:].mean(axis=0)
+            std = null[:, 1:].std(axis=0)
+            std = np.where(std > 1e-305, std, 1.0)
+            null[:, 1:] = (null[:, 1:] - mean) / std
+
+        self.null_features = null
+        # alt adds the per-k-mer count-ratio column last
+        self.alt_features = np.column_stack([null, np.zeros(self.size)])
+
+        if self.irls:
+            # the SAME batched device solver as the per-k-mer alt fits:
+            # null and alt must share numerics or every LLR is biased by
+            # solver asymmetry (the reference's pivot-free LU fails on
+            # separable cohorts where a pivoted solve converges)
+            import jax.numpy as jnp
+
+            from kmdiff_tpu.ops.glm import (
+                batched_irls,
+                default_dtype,
+                log_likelihood,
+            )
+
+            dt = default_dtype()
+            Xd = jnp.asarray(self.null_features[None], dtype=dt)
+            yd = jnp.asarray(self.Y, dtype=dt)
+            W, _err, _it = batched_irls(Xd, yd, self.max_iteration)
+            self.null_model = np.asarray(W[0], dtype=np.float64)
+            self.null_loglik = float(np.asarray(log_likelihood(Xd, W, yd))[0])
+        else:
+            model, singular, nan, _err, _it = glm_newton_raphson(
+                self.null_features, self.Y, self.learning_rate,
+                self.max_iteration,
+            )
+            if singular or nan:
+                logger.warning("null logistic fit hit a singular Hessian.")
+            self.null_model = model
+            p = sigmoid(self.null_features @ model)
+            with np.errstate(divide="ignore"):
+                self.null_loglik = float(
+                    np.sum(np.where(self.Y == 1, np.log(p), np.log1p(-p)))
+                )
+
+    # -- batched correction ---------------------------------------------------
+
+    def correct_block(self, block: KmerSignBlock) -> None:
+        """Correct a block of significant k-mers in place (batched device
+        IRLS; replaces the per-k-mer scalar loop popstrat.hpp:249-333)."""
+        import jax.numpy as jnp
+
+        from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
+
+        B = len(block)
+        if B == 0:
+            return
+        if block.counts_ratio is None:
+            raise ValueError("popstrat needs count-carrying accumulators")
+        dt = default_dtype()
+
+        ratios = block.counts_ratio / self.totals[None, :]
+        X = np.broadcast_to(
+            self.alt_features, (B, *self.alt_features.shape)
+        ).copy()
+        X[:, :, -1] = ratios
+        Xd = jnp.asarray(X, dtype=dt)
+        yd = jnp.asarray(self.Y, dtype=dt)
+
+        W, _err, _iters = batched_irls(Xd, yd, self.max_iteration)
+        alt_ll = np.asarray(log_likelihood(Xd, W, yd), dtype=np.float64)
+
+        llr = -2.0 * (self.null_loglik - alt_ll)
+        llr = np.where(
+            (np.abs(llr) < self.epsilon) | (llr < 0.0) | ~np.isfinite(alt_ll),
+            0.0,
+            llr,
+        )
+        block.pvalues[:] = chi2_sf1(llr)
+
+
+def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
+    """Full popstrat stage (reference: diff.hpp:166-225 do_pop). Returns the
+    replacement accumulators holding corrected KmerSigns."""
+    from kmdiff_tpu.io.kmtricks import get_total_kmer, read_fof
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+
+    timer = Timer()
+    logger.info("Population stratification correction...")
+
+    fof = read_fof(opt.kmtricks_dir)
+    gender = load_gender_file(opt.gender)
+    write_parfile(os.path.join(pop_dir, "parfile.txt"))
+    write_gwas_info(
+        fof, os.path.join(pop_dir, "gwas_eigenstratX.ind"),
+        opt.nb_controls, gender,
+    )
+    total_controls, total_cases = get_total_kmer(
+        opt.kmtricks_dir, opt.nb_controls, opt.nb_cases, config.abundance_min
+    )
+    write_totals(
+        os.path.join(pop_dir, "gwas_eigenstratX.total"),
+        total_controls, total_cases,
+    )
+
+    # PCA over the sampled geno matrix (in-process smartpca replacement)
+    geno_path = os.path.join(pop_dir, "gwas_eigenstratX.geno")
+    geno = _read_geno(geno_path, opt.nb_controls + opt.nb_cases)
+    Z, evals = eigenstrat_pca(geno, is_diploid=opt.is_diploid, n_evec=10)
+    write_pcs_evec(os.path.join(pop_dir, "pcs.evec"), Z)
+    logger.info("PCA: %d sampled k-mers, top eigenvalues %s.",
+                len(geno), np.round(evals[: opt.npc], 4).tolist())
+
+    corr = PopStratCorrector(
+        opt.nb_controls, opt.nb_cases, total_controls, total_cases, opt.npc,
+        stand=opt.stand, irls=opt.irls, learning_rate=opt.learning_rate,
+        max_iteration=opt.max_iteration, epsilon=opt.epsilon,
+    )
+    corr.set_Z(Z)
+    corr.set_covariates(
+        load_covariates_file(opt.covariates, opt.nb_controls + opt.nb_cases)
+    )
+    if gender and all(e.id in gender and gender[e.id] != "U" for e in fof.entries):
+        corr.set_gender(
+            np.array([1.0 if gender[e.id] == "M" else 0.0 for e in fof.entries])
+        )
+    corr.init_global_features()
+
+    nb_samples = opt.nb_controls + opt.nb_cases
+    pop_accs = []
+    for i, acc in enumerate(accumulators):
+        pacc = FileAccumulator(
+            os.path.join(part_dir, f"p{i}_popstrat_uncorrected"),
+            config.kmer_size,
+            read=False,
+            delete_on_destroy=not opt.keep_tmp,
+            nb_samples=nb_samples,
+        )
+        for block in acc.blocks():
+            corr.correct_block(block)
+            pacc.push_block(block)
+        pacc.finish()
+        acc.destroy()
+        pop_accs.append(pacc)
+
+    logger.info("Population stratification corrected (%s).", timer.formatted())
+    return pop_accs
+
+
+def _read_geno(path: str, nb_samples: int) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = line.split()
+            if vals:
+                rows.append([int(v) for v in vals])
+    if not rows:
+        return np.zeros((0, nb_samples), np.uint8)
+    return np.asarray(rows, dtype=np.uint8)

@@ -1,0 +1,282 @@
+"""Population-stratification tests: GLM solvers (golden values mirroring
+reference tests/linear_test.cpp), batched-vs-host IRLS equivalence, PCA
+structure recovery, deterministic sampling, and the end-to-end corrected
+diff."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kmdiff_tpu.core.linear_model import (
+    glm_irls,
+    glm_newton_raphson,
+    inverse,
+    lu_decomposition,
+    predict,
+    sigmoid,
+)
+
+
+# -- reference-golden linear algebra (tests/linear_test.cpp:7-151) -----------
+
+def test_sigmoid_predict_golden():
+    assert abs(sigmoid(1.0) - 0.7310585786300048792512) < 1e-15
+    assert abs(predict(np.array([1, 2, 3]), np.array([1, 2, 3]))
+               - 0.9999991684719723358679) < 1e-12
+
+
+def test_lu_and_inverse_golden():
+    m = np.array([
+        [1, 2, 1, 1],
+        [1, 1, 6, 1],
+        [1, 0, 1, 0],
+        [1, 0, 1, 1],
+    ], dtype=np.float64)
+    lower, upper = lu_decomposition(m)
+    np.testing.assert_allclose(lower, [
+        [1, 0, 0, 0], [1, 1, 0, 0], [1, 2, 1, 0], [1, 2, 1, 1]], atol=1e-15)
+    np.testing.assert_allclose(upper, [
+        [1, 2, 1, 1], [0, -1, 5, 0], [0, 0, -10, -1], [0, 0, 0, 1]],
+        atol=1e-15)
+    inv, singular, nan = inverse(m)
+    assert not singular and not nan
+    np.testing.assert_allclose(inv, [
+        [0.1, -0.2, 1, 0.1],
+        [0.5, 0, 0, -0.5],
+        [-0.1, 0.2, 0, -0.1],
+        [0, 0, -1, 1],
+    ], atol=1e-15)
+
+
+def test_inverse_singular():
+    m = np.array([[1.0, 2.0], [2.0, 4.0]])
+    _inv, singular, nan = inverse(m)
+    assert singular or nan
+
+
+# -- logistic fits ------------------------------------------------------------
+
+def _separable_cohort(rng, n=40, flip=0.1):
+    """Labels correlated with feature 1."""
+    y = np.concatenate([np.ones(n // 2), np.zeros(n // 2)])
+    x1 = y + rng.normal(0, 0.8, n)
+    X = np.column_stack([np.ones(n), x1, rng.normal(0, 1, n)])
+    return X, y
+
+
+def test_glm_irls_recovers_signal():
+    rng = np.random.default_rng(0)
+    X, y = _separable_cohort(rng)
+    w, singular, nan, err, iters = glm_irls(X, y)
+    assert not singular and not nan
+    assert w[1] > 0.5  # informative feature gets positive weight
+    p = sigmoid(X @ w)
+    acc = np.mean((p > 0.5) == (y == 1))
+    assert acc > 0.7
+
+
+def test_glm_newton_matches_irls_direction():
+    rng = np.random.default_rng(1)
+    X, y = _separable_cohort(rng)
+    w_irls, *_ = glm_irls(X, y)
+    w_nr, *_ = glm_newton_raphson(X, y, gamma=1.0, max_iters=500)
+    assert np.sign(w_nr[1]) == np.sign(w_irls[1])
+
+
+def test_batched_irls_matches_host():
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
+
+    rng = np.random.default_rng(2)
+    n, F, B = 24, 4, 8
+    y = np.concatenate([np.ones(n // 2), np.zeros(n // 2)])
+    Xs = []
+    for _ in range(B):
+        X = np.column_stack([
+            np.ones(n),
+            y + rng.normal(0, 1.0, n),
+            rng.normal(0, 1, n),
+            rng.uniform(0, 1, n),
+        ])
+        Xs.append(X)
+    Xb = np.stack(Xs)
+
+    dt = default_dtype()
+    W, err, iters = batched_irls(jnp.asarray(Xb, dtype=dt), jnp.asarray(y, dt))
+    W = np.asarray(W, dtype=np.float64)
+
+    for b in range(B):
+        w_host, singular, nan, err_h, it_h = glm_irls(Xs[b], y)
+        np.testing.assert_allclose(W[b], w_host, rtol=1e-4, atol=1e-5)
+
+    # log-likelihood agrees with direct computation
+    ll = np.asarray(log_likelihood(jnp.asarray(Xb, dt), jnp.asarray(W, dt),
+                                   jnp.asarray(y, dt)))
+    p0 = sigmoid(Xs[0] @ W[0])
+    ll0 = np.sum(np.where(y == 1, np.log(p0), np.log1p(-p0)))
+    assert abs(ll[0] - ll0) < 1e-4
+
+
+# -- PCA ----------------------------------------------------------------------
+
+def test_eigenstrat_pca_separates_populations():
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+
+    rng = np.random.default_rng(3)
+    S, M = 20, 2000
+    # two populations with different presence frequencies on half the rows
+    pop = np.repeat([0, 1], S // 2)
+    base = rng.uniform(0.2, 0.8, M)
+    shift = np.where(rng.random(M) < 0.5, 0.3, -0.3)
+    probs = np.clip(base[:, None] + shift[:, None] * pop[None, :], 0.02, 0.98)
+    geno = (rng.random((M, S)) < probs).astype(np.uint8)
+
+    Z, evals = eigenstrat_pca(geno, is_diploid=True, n_evec=10)
+    assert Z.shape == (S, 10)
+    assert evals[0] > evals[1] > 0
+    # PC1 separates the two populations
+    pc1 = Z[:, 0]
+    assert (np.sign(pc1[:10].mean()) != np.sign(pc1[10:].mean()))
+
+
+def test_pca_empty():
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+
+    Z, evals = eigenstrat_pca(np.zeros((0, 6), np.uint8))
+    assert Z.shape == (6, 6)
+
+
+# -- sampling -----------------------------------------------------------------
+
+def test_sample_mask_deterministic_and_rate():
+    from kmdiff_tpu.pipeline.popstrat import sample_mask
+
+    rng = np.random.default_rng(4)
+    kmers = rng.integers(0, 2**63, size=(200_000, 1), dtype=np.uint64)
+    m1 = sample_mask(kmers, 0.01, seed=0)
+    m2 = sample_mask(kmers, 0.01, seed=0)
+    np.testing.assert_array_equal(m1, m2)
+    assert 0.005 < m1.mean() < 0.02
+    m3 = sample_mask(kmers, 0.01, seed=7)
+    assert not np.array_equal(m1, m3)
+
+
+# -- end-to-end ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def stratified_cohort(tmp_path_factory):
+    """Synthetic cohort with population structure: two subpopulations with
+    private background k-mers, cases enriched in pop B."""
+    out = tmp_path_factory.mktemp("strat")
+    rng = np.random.default_rng(5)
+    bases = np.array(list("ACGT"))
+
+    def reads(background, private, n=60):
+        seqs = []
+        for _ in range(n):
+            src = private if rng.random() < 0.5 else background
+            i = rng.integers(0, len(src))
+            seqs.append(src[i])
+        return seqs
+
+    shared = ["".join(rng.choice(bases, 60)) for _ in range(30)]
+    pop_a = ["".join(rng.choice(bases, 60)) for _ in range(20)]
+    pop_b = ["".join(rng.choice(bases, 60)) for _ in range(20)]
+
+    fof_lines = []
+    n_controls = n_cases = 6
+    for i in range(n_controls + n_cases):
+        # controls: 4 popA + 2 popB; cases: 2 popA + 4 popB -> structure
+        # correlates with labels
+        is_case = i >= n_controls
+        in_b = (i % 3 != 0) if is_case else (i % 3 == 0)
+        private = pop_b if in_b else pop_a
+        sid = f"{'CASE' if is_case else 'CONTROL'}{i}"
+        fa = out / f"{sid}.fasta"
+        with open(fa, "w") as f:
+            for j, s in enumerate(reads(shared, private)):
+                f.write(f">r{j}\n{s}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    fof = out / "fof.txt"
+    fof.write_text("\n".join(fof_lines) + "\n")
+
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.options import CountOptions
+
+    run_dir = out / "run"
+    main_count(CountOptions(fof=str(fof), directory=str(run_dir),
+                            kmer_size=21, hard_min=1, nb_partitions=4,
+                            nb_threads=2))
+    return str(out), str(run_dir), n_controls, n_cases
+
+
+def test_diff_with_pop_correction(stratified_cohort):
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+    from kmdiff_tpu.io.fasta import read_fasta
+
+    out, run_dir, nc, nk = stratified_cohort
+    res = main_diff(DiffOptions(
+        kmtricks_dir=run_dir,
+        output_directory=os.path.join(out, "diff_pop"),
+        nb_controls=nc,
+        nb_cases=nk,
+        threshold=0.2,
+        cutoff=1.0,
+        correction=CorrectionType.NOTHING,
+        pop_correction=True,
+        kmer_pca=0.05,
+        npc=2,
+        nb_threads=2,
+        keep_tmp=True,
+    ))
+    pop_dir = os.path.join(out, "diff_pop", "popstrat")
+    for f in ("gwas_eigenstratX.geno", "gwas_eigenstratX.snp",
+              "gwas_eigenstratX.ind", "gwas_eigenstratX.total",
+              "parfile.txt", "pcs.evec"):
+        assert os.path.exists(os.path.join(pop_dir, f)), f
+    # corrected run completed and wrote outputs
+    fa = read_fasta(os.path.join(out, "diff_pop", "case_kmers.fasta"))
+    for name, _seq in fa:
+        p = float(name.split("pval=")[1].split("_")[0])
+        assert 0.0 <= p <= 1.0
+
+    # popstrat spills exist (keep_tmp)
+    assert os.path.exists(
+        os.path.join(out, "diff_pop", "partitions", "p0_popstrat_uncorrected")
+    )
+
+
+def test_pop_correction_reduces_structure_hits(stratified_cohort):
+    """k-mers private to a subpopulation should lose significance after
+    correction (the whole point of the popstrat stage)."""
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+
+    out, run_dir, nc, nk = stratified_cohort
+
+    res_plain = main_diff(DiffOptions(
+        kmtricks_dir=run_dir,
+        output_directory=os.path.join(out, "diff_plain"),
+        nb_controls=nc, nb_cases=nk,
+        threshold=0.05, cutoff=1.0,
+        correction=CorrectionType.NOTHING,
+        nb_threads=2,
+    ))
+    res_pop = main_diff(DiffOptions(
+        kmtricks_dir=run_dir,
+        output_directory=os.path.join(out, "diff_pop2"),
+        nb_controls=nc, nb_cases=nk,
+        threshold=0.05, cutoff=1.0,
+        correction=CorrectionType.NOTHING,
+        pop_correction=True, kmer_pca=0.05, npc=2,
+        nb_threads=2,
+    ))
+    plain_hits = res_plain["control"] + res_plain["case"]
+    pop_hits = res_pop["control"] + res_pop["case"]
+    assert plain_hits > 0
+    assert pop_hits < plain_hits
