@@ -187,7 +187,10 @@ class FileAccumulator(IAccumulator):
             self._raw = open(path, "wb")
             self._raw.write(MAGIC)
             self._raw.write(struct.pack("<III", kmer_size, self.n_words, nb_samples))
-            self._writer = Lz4FrameWriter(self._raw, mode=lz4_mode)
+            # 1 MiB blocks: spills are our own format (no kmtricks reader
+            # to humor) and bigger blocks amortize the codec's per-block cost
+            self._writer = Lz4FrameWriter(self._raw, block_size=1 << 20,
+                                          mode=lz4_mode)
 
     def _open_read(self):
         self._raw = open(self.path, "rb")

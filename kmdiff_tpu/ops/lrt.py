@@ -123,9 +123,11 @@ def lrt_filter_block(counts, nb_controls, ratio_c, ratio_k, lr_min):
 
 
 def run_filter(params: LrtParams, counts: np.ndarray):
-    """Host wrapper: device filter over one block; returns numpy outputs."""
+    """Host wrapper: device filter over one block; returns numpy outputs.
+    Pass int32 counts to avoid a device-side convert."""
     keep, lr, s_c, s_k = lrt_filter_block(
-        jnp.asarray(counts, dtype=jnp.int32),
+        jnp.asarray(counts) if counts.dtype == np.int32
+        else jnp.asarray(counts, dtype=jnp.int32),
         params.nb_controls,
         jnp.float32(params.ratio_c),
         jnp.float32(params.ratio_k),

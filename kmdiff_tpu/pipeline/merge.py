@@ -132,18 +132,23 @@ class PartitionProcessor:
         """Score [B, S] rows; returns survivor KmerSignBlock + sign tallies."""
         B = counts.shape[0]
         if self._fast:
-            # device bulk filter in fixed tiles; host exact rescore of hits
+            # device bulk filter in fixed tiles; host exact rescore of hits.
+            # counts are uint32 but far below 2^31 (count_bytes <= 4,
+            # per-sample sums bounded by total coverage), so an int32 view
+            # is free and skips a device-side convert.
+            counts_i32 = counts.view(np.int32)
             keep = np.zeros(B, dtype=bool)
             s_c = np.zeros(B, dtype=np.int64)
             s_k = np.zeros(B, dtype=np.int64)
+            pad_tile = np.zeros((BLOCK_ROWS, counts.shape[1]), dtype=np.int32)
             for lo in range(0, B, BLOCK_ROWS):
                 hi = min(B, lo + BLOCK_ROWS)
-                tile = counts[lo:hi]
                 if hi - lo < BLOCK_ROWS:
-                    tile = np.concatenate(
-                        [tile, np.zeros((BLOCK_ROWS - (hi - lo), counts.shape[1]),
-                                        dtype=counts.dtype)]
-                    )
+                    pad_tile[: hi - lo] = counts_i32[lo:hi]
+                    pad_tile[hi - lo :] = 0
+                    tile = pad_tile
+                else:
+                    tile = counts_i32[lo:hi]
                 k, _lr, sc, sk_ = run_filter(self.params, tile)
                 keep[lo:hi] = k[: hi - lo]
                 s_c[lo:hi] = sc[: hi - lo]
