@@ -21,6 +21,34 @@ Pipeline (mirrors reference behavior, re-architected):
 
 __version__ = "0.1.0"
 
+
+def _setup_jax_cache() -> None:
+    """Persistent XLA compilation cache: kernel shapes recompile across runs
+    otherwise (~40s per shape over a remote-tunnel TPU). Opt out with
+    KMDIFF_NO_JAX_CACHE=1."""
+    import os
+
+    if os.environ.get("KMDIFF_NO_JAX_CACHE") == "1":
+        return
+    # CPU compiles are fast and CPU AOT entries are machine-feature
+    # sensitive (stale entries risk SIGILL); cache only accelerator runs
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "kmdiff_tpu", "jax"
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
+_setup_jax_cache()
+
 from kmdiff_tpu.utils.exceptions import (  # noqa: F401
     KmdiffError,
     ConfigError,

@@ -1,0 +1,110 @@
+"""Sharded counting shuffle: sample-sharded extraction -> partition-sharded
+counts via all_to_all over ICI.
+
+The reference counts every sample inside one kmtricks process and hands
+partitions over through the filesystem (SURVEY.md §2.3). Multi-host
+TPU-native counting shards SAMPLES across devices/hosts during extraction;
+the count matrices must then regroup by PARTITION (a pure function of the
+k-mer). That regroup is the one real collective of the counting phase:
+
+  each device buckets its local (kmer, count) stream by target device
+  (partition % n_devices) into equal-capacity lanes -> lax.all_to_all
+  rides the ICI torus -> every device sorts its received stream and
+  run-length-encodes counts for the partitions it owns.
+
+Buckets are fixed-capacity (static shapes); overflowed rows are counted
+and reported so the caller can rerun with a larger capacity — the host
+pipeline sizes capacity from the known per-sample stream lengths, so
+overflow only fires on pathological skew (the avalanche-hash partitioner
+keeps buckets balanced).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from kmdiff_tpu.parallel.mesh import ROW_AXIS
+
+
+def make_sharded_count_regroup(mesh, nb_partitions: int, bucket_cap: int):
+    """Build the jitted shuffle step.
+
+    step(hi, lo, sample, count) with [D*L] row-sharded inputs (L rows per
+    device; padding rows use kmer sentinel 0xFFFFFFFF/0xFFFFFFFF, count 0)
+    -> (hi_r, lo_r, sample_r, count_r) [D * (D*bucket_cap)] row-sharded —
+    each device's received stream sorted by (k-mer, sample), sentinel-
+    padded — plus n_dropped [1] (total overflowed rows, replicated).
+    """
+    D = mesh.devices.size
+
+    def _local(hi, lo, sample, count):
+        # hi/lo/sample/count: [L] local rows
+        L = hi.shape[0]
+        from kmdiff_tpu.ops.codec import partition_ids
+
+        part = partition_ids(hi, lo, nb_partitions)
+        valid = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
+        target = jnp.where(valid, (part % D).astype(jnp.int32), D)
+
+        # stable sort by target device packs each bucket contiguously
+        t_s, hi_s, lo_s, sm_s, c_s = jax.lax.sort(
+            (target, hi, lo, sample, count), num_keys=1, is_stable=True
+        )
+        # position of each row within its bucket
+        idx = jnp.arange(L, dtype=jnp.int32)
+        bucket_first = jnp.where(
+            jnp.concatenate([jnp.ones(1, bool), t_s[1:] != t_s[:-1]]), idx, -1
+        )
+        first = jax.lax.cummax(bucket_first)
+        within = idx - first
+        keep = (within < bucket_cap) & (t_s < D)
+        n_dropped = jnp.sum((~keep) & (t_s < D), dtype=jnp.int32)
+
+        # scatter rows into [D, bucket_cap] lanes (sentinel-padded)
+        slot = jnp.where(keep, t_s * bucket_cap + within, D * bucket_cap)
+        buk_hi = jnp.full(D * bucket_cap + 1, 0xFFFFFFFF, jnp.uint32)
+        buk_lo = jnp.full(D * bucket_cap + 1, 0xFFFFFFFF, jnp.uint32)
+        buk_sm = jnp.zeros(D * bucket_cap + 1, jnp.int32)
+        buk_c = jnp.zeros(D * bucket_cap + 1, jnp.int32)
+        buk_hi = buk_hi.at[slot].set(hi_s)[:-1].reshape(D, bucket_cap)
+        buk_lo = buk_lo.at[slot].set(lo_s)[:-1].reshape(D, bucket_cap)
+        buk_sm = buk_sm.at[slot].set(sm_s)[:-1].reshape(D, bucket_cap)
+        buk_c = buk_c.at[slot].set(c_s)[:-1].reshape(D, bucket_cap)
+
+        # the shuffle: lane d of every device lands on device d
+        r_hi = jax.lax.all_to_all(buk_hi, ROW_AXIS, 0, 0, tiled=True)
+        r_lo = jax.lax.all_to_all(buk_lo, ROW_AXIS, 0, 0, tiled=True)
+        r_sm = jax.lax.all_to_all(buk_sm, ROW_AXIS, 0, 0, tiled=True)
+        r_c = jax.lax.all_to_all(buk_c, ROW_AXIS, 0, 0, tiled=True)
+
+        # local sort of the received stream by (k-mer, sample); sentinels
+        # sink to the end
+        s_hi, s_lo, s_sm, s_c = jax.lax.sort(
+            (r_hi.ravel(), r_lo.ravel(), r_sm.ravel(), r_c.ravel()),
+            num_keys=3,
+        )
+        n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
+        return s_hi, s_lo, s_sm, s_c, n_dropped.reshape(1)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS),) * 4,
+        out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
+    )
+    return jax.jit(sharded)
+
+
+def shard_triples(mesh, *arrays: np.ndarray):
+    spec = NamedSharding(mesh, P(ROW_AXIS))
+    return tuple(jax.device_put(a, spec) for a in arrays)

@@ -17,7 +17,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from kmdiff_tpu.core.model import Significance
 from kmdiff_tpu.ops.lrt import MARGIN_ABS, MARGIN_PER_COUNT, _lr_from_sums

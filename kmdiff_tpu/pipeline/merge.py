@@ -213,8 +213,106 @@ class PartitionProcessor:
             ksize = info.kmer_size
             kmers_list.append(kmers)
             counts_list.append(counts)
+        if self._fast and ksize <= 32 and self.save_matrix_path is None:
+            return self._process_device_merge(
+                partition, kmers_list, counts_list, acc, ksize
+            )
         kmers, counts = merge_sorted_streams(kmers_list, counts_list)
         return self.process_arrays(partition, kmers, counts, acc, ksize)
+
+    def _process_device_merge(
+        self, partition, kmers_list, counts_list, acc, ksize
+    ) -> PartitionResult:
+        """Device-side merge path: sort/segment-sum/compact on device; only
+        survivors (and PCA sample rows) return to host
+        (kmdiff_tpu.ops.merge_dev)."""
+        import jax.numpy as jnp
+
+        from kmdiff_tpu.ops.merge_dev import (
+            build_triples,
+            merge_lrt_kernel,
+            pca_threshold_u32,
+            rows_for_segments,
+        )
+
+        N_real = int(sum(len(k) for k in kmers_list))
+        pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
+        hi, lo, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
+
+        want_geno = self.sampler is not None
+        tight = self.params.p_threshold <= 1e-3
+        max_hits = min(pad_to, max(4096, pad_to >> 4)) if tight else pad_to
+        max_geno = min(pad_to, max(4096, pad_to >> 3)) if want_geno else 1
+
+        while True:
+            out = merge_lrt_kernel(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sample),
+                jnp.asarray(count),
+                self.nb_controls,
+                jnp.float32(self.params.ratio_c),
+                jnp.float32(self.params.ratio_k),
+                jnp.float32(self.params.lr_min),
+                jnp.uint32(pca_threshold_u32(getattr(self.sampler, "rate", 0.0))),
+                jnp.uint32(getattr(self.sampler, "seed", 0)),
+                max_hits,
+                max_geno,
+                want_geno,
+            )
+            n_hits = int(out["n_hits"])
+            n_geno = int(out["n_geno"]) if want_geno else 0
+            if n_hits <= max_hits and n_geno <= max_geno:
+                break
+            # capacity overflow: retry with full budgets (rare: loose
+            # thresholds or extreme sampling rates)
+            max_hits = pad_to
+            max_geno = pad_to
+
+        n_distinct = int(out["n_distinct"])
+        s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)
+        s_k = np.asarray(out["hit_sk"])[:n_hits].astype(np.int64)
+        hit_hi = np.asarray(out["hit_hi"])[:n_hits]
+        hit_lo = np.asarray(out["hit_lo"])[:n_hits]
+
+        p, sg, mc, mk = self.model.process_sums(s_c, s_k)
+        final = p <= self.threshold
+        kmers_u64 = (
+            (hit_hi.astype(np.uint64) << np.uint64(32))
+            | hit_lo.astype(np.uint64)
+        )[final][:, None]
+        p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+
+        counts_rows = None
+        if self.keep_counts or want_geno:
+            sorted_seg = np.asarray(out["sorted_seg"])
+            sorted_sample = np.asarray(out["sorted_sample"])
+            sorted_count = np.asarray(out["sorted_count"])
+            S = len(kmers_list)
+            if self.keep_counts:
+                hit_seg = np.asarray(out["hit_seg"])[:n_hits][final]
+                counts_rows = rows_for_segments(
+                    hit_seg, sorted_seg, sorted_sample, sorted_count, S
+                ).astype(np.float64)
+            if want_geno:
+                geno_seg = np.asarray(out["geno_seg"])[:n_geno]
+                geno_rows = rows_for_segments(
+                    geno_seg, sorted_seg, sorted_sample, sorted_count, S
+                )
+                self.sampler.add_sampled(partition, (geno_rows > 0).astype(np.uint8))
+
+        block = KmerSignBlock(
+            kmers_u64,
+            np.asarray(p, dtype=np.float64),
+            np.asarray(sg, dtype=np.int8),
+            np.asarray(mc, dtype=np.float64),
+            np.asarray(mk, dtype=np.float64),
+            counts_rows,
+        )
+        acc.push_block(block)
+        acc.finish()
+        n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
+        return PartitionResult(
+            partition, n_distinct, len(block), n_ctrl, len(block) - n_ctrl
+        )
 
     def process_matrix(
         self, partition: int, path: str, acc: IAccumulator

@@ -86,8 +86,13 @@ class GenoSampler:
 
     def sample_block(self, partition: int, kmers: np.ndarray,
                      counts: np.ndarray, nb_controls: int) -> None:
+        """Host-merge path: sample from the full distinct-k-mer stream."""
         mask = sample_mask(kmers, self.rate, self.seed)
-        presence = (counts[mask] > 0).astype(np.uint8)
+        self.add_sampled(partition, (counts[mask] > 0).astype(np.uint8))
+
+    def add_sampled(self, partition: int, presence: np.ndarray) -> None:
+        """Device-merge path: rows were already sampled on device with the
+        same hash chain (ops.merge_dev)."""
         with self._lock:
             self._rows[partition] = presence
 
