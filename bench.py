@@ -59,6 +59,59 @@ def measure_cpp_baseline() -> float:
         return FALLBACK_CPP_BASELINE
 
 
+def measure_device_merge() -> float:
+    """The full merge+test kernel (ops.merge_dev): S sorted per-sample
+    streams -> distinct k-mers tested per second. Apples-to-apples with the
+    C++ baseline, which also heap-merges sorted streams + runs the scalar
+    LRT (no file IO on either side)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmdiff_tpu.ops.lrt import LrtParams
+    from kmdiff_tpu.ops.merge_dev import build_triples, merge_lrt_kernel
+
+    S = 20
+    N = 1 << (16 if QUICK else 21)
+    per = N // S
+    rng = np.random.default_rng(0)
+    kmers = [
+        np.sort(rng.integers(0, 2**40, per, dtype=np.uint64))[:, None]
+        for _ in range(S)
+    ]
+    counts = [rng.integers(1, 32, per, dtype=np.uint32) for _ in range(S)]
+    hi, lo, sample, count, _n = build_triples(kmers, counts, N)
+    params = LrtParams(10, 10, 10**9, 10**9, 0.05 / 1e5)
+    args = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sample),
+            jnp.asarray(count))
+    kw = dict(
+        nb_controls=10,
+        ratio_c=jnp.float32(params.ratio_c),
+        ratio_k=jnp.float32(params.ratio_k),
+        lr_min=jnp.float32(params.lr_min),
+        pca_threshold_u32=jnp.uint32(0),
+        pca_seed=jnp.uint32(0),
+        max_hits=1 << 14,
+        max_geno=1,
+        want_geno=False,
+    )
+    out = merge_lrt_kernel(*args, **kw)
+    jax.block_until_ready(out["n_hits"])
+    n_distinct = int(out["n_distinct"])
+    iters = 3 if QUICK else 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = merge_lrt_kernel(*args, **kw)
+    jax.block_until_ready(out["n_hits"])
+    dt = time.perf_counter() - t0
+    v = n_distinct * iters / dt
+    dev = jax.devices()[0]
+    log(f"[bench] device {dev.platform}:{dev.id} merge+LRT kernel: "
+        f"{v:.3e} distinct kmers tested/s ({N} triples x {S} samples, "
+        f"{iters} iters, {dt:.3f}s)")
+    return v
+
+
 def measure_device_lrt() -> float:
     import jax
     import jax.numpy as jnp
@@ -98,7 +151,8 @@ def measure_device_lrt() -> float:
 
 def main() -> None:
     baseline = measure_cpp_baseline()
-    value = measure_device_lrt()
+    measure_device_lrt()  # LRT-only upper bound, reported on stderr
+    value = measure_device_merge()
     print(json.dumps({
         "metric": "kmers_tested_per_sec_per_chip",
         "value": round(value, 1),

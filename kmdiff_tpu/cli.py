@@ -39,6 +39,11 @@ def _add_common(p: argparse.ArgumentParser):
         choices=("debug", "info", "warning", "error"),
         help="verbosity level.",
     )
+    p.add_argument(
+        "--profile", default="", metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR "
+        "(view with tensorboard or xprof).",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -148,6 +153,23 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     set_verbosity_level(args.verbose)
+
+    from kmdiff_tpu.utils.signals import init_signal_handlers
+
+    init_signal_handlers()
+
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if getattr(args, "profile", ""):
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+    with profile_ctx:
+        return _dispatch(args)
+
+
+def _dispatch(args) -> int:
 
     if args.command == "infos":
         from kmdiff_tpu.cmd.infos import main_infos

@@ -92,7 +92,12 @@ def do_diff(opt: DiffOptions, config, part_dir: str, accumulators, sampler=None)
         sampler=sampler,
         save_matrix_path=save_dir,
     )
-    merger = GlobalMerge(processor, accumulators, nb_threads=opt.nb_threads)
+    from kmdiff_tpu.utils.progress import get_progress_bar
+
+    merger = GlobalMerge(
+        processor, accumulators, nb_threads=opt.nb_threads,
+        progress=get_progress_bar("progress", config.nb_partitions),
+    )
 
     if matrix_paths:
         total_kmers = merger.merge_matrices(matrix_paths)
@@ -117,6 +122,8 @@ def do_correction(opt: DiffOptions, config, accumulators, total_kmers: int) -> t
     else:
         logger.info("Aggregate partitions and apply significance correction...")
 
+    from kmdiff_tpu.utils.progress import get_progress_bar
+
     corrector = make_corrector(opt.correction, opt.threshold, total_kmers)
     agg = Aggregator(
         accumulators,
@@ -126,6 +133,7 @@ def do_correction(opt: DiffOptions, config, accumulators, total_kmers: int) -> t
         kff=opt.kff,
         threshold=opt.threshold,
         total_kmers=total_kmers,
+        progress=get_progress_bar("progress", config.nb_partitions),
     )
     agg.run()
     c_controls, c_cases = agg.counts()

@@ -99,6 +99,91 @@ def extract_canonical_kmers(codes: jax.Array, k: int):
     return hi, lo, ok
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical_kmers_multi(codes: jax.Array, k: int):
+    """Multi-word variant for 32 < k <= 64: four u32 lanes per k-mer.
+
+    Lane mapping matches the host codec's two-u64-word layout
+    (core.kmer.pack_codes: word0 = bases 0..31 full-width, word1 = bases
+    32..k-1 right-aligned): lane0 = word0>>32, lane1 = word0&MASK,
+    lane2 = word1>>32, lane3 = word1&MASK — so a 4-key lexicographic sort
+    equals the host word ordering.
+
+    Returns (l0, l1, l2, l3, ok).
+    """
+    if not (32 < k <= 64):
+        raise ValueError("multi-word fast path covers 32 < k <= 64")
+    N = codes.shape[0]
+    W = N - k + 1
+    bad = (codes == INVALID).astype(jnp.int32)
+    cum = jnp.cumsum(bad)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), cum])
+    ok = (cum[k:] - cum[:-k]) == 0
+
+    base = jnp.where(codes == INVALID, 0, codes.astype(jnp.uint32))
+
+    def lane_shift(pos_bits: int):
+        """(lane index, in-lane shift) for a base at word-layout bit
+        offset pos_bits; word0 occupies lanes 0-1, word1 lanes 2-3."""
+        word, bit = divmod(pos_bits, 64)
+        lane = word * 2 + (0 if bit >= 32 else 1)
+        return lane, bit - 32 if bit >= 32 else bit
+
+    fwd = [jnp.zeros(W, jnp.uint32) for _ in range(4)]
+    rc = [jnp.zeros(W, jnp.uint32) for _ in range(4)]
+    k1 = k - 32  # word1 base count
+    for j in range(k):
+        cj = jax.lax.slice(base, (j,), (j + W,))
+        # forward: base j -> word0 bit 2*(31-j) (j<32) else word1 bit
+        # 2*(k-1-j)
+        if j < 32:
+            lane, sh = lane_shift(2 * (31 - j))
+        else:
+            lane, sh = lane_shift(64 + 2 * (k - 1 - j))
+        fwd[lane] = fwd[lane] | (cj << sh)
+        # reverse complement: complement base lands at rc index i = k-1-j
+        rj = cj ^ 2
+        i = k - 1 - j
+        if i < 32:
+            lane, sh = lane_shift(2 * (31 - i))
+        else:
+            lane, sh = lane_shift(64 + 2 * (k - 1 - i))
+        rc[lane] = rc[lane] | (rj << sh)
+
+    # lexicographic min(fwd, rc) over the 4 lanes
+    take_rc = jnp.zeros(W, bool)
+    undecided = jnp.ones(W, bool)
+    for l in range(4):
+        lt = rc[l] < fwd[l]
+        gt = rc[l] > fwd[l]
+        take_rc = take_rc | (undecided & lt)
+        undecided = undecided & ~(lt | gt)
+    out = [jnp.where(take_rc, rc[l], fwd[l]) for l in range(4)]
+    return out[0], out[1], out[2], out[3], ok
+
+
+@jax.jit
+def sort_kmers4_with_parts(part, l0, l1, l2, l3):
+    """Device sort by (partition, 4 k-mer lanes) + run-start flags."""
+    p_s, a, b, c, d = jax.lax.sort((part, l0, l1, l2, l3), num_keys=5)
+    first = jnp.ones(1, dtype=bool)
+    rest = (
+        (p_s[1:] != p_s[:-1])
+        | (a[1:] != a[:-1])
+        | (b[1:] != b[:-1])
+        | (c[1:] != c[:-1])
+        | (d[1:] != d[:-1])
+    )
+    return p_s, a, b, c, d, jnp.concatenate([first, rest])
+
+
+def lanes_to_u64_words(l0, l1, l2, l3) -> np.ndarray:
+    """Host: 4 u32 lanes -> [n, 2] u64 words (core.kmer layout)."""
+    w0 = (l0.astype(np.uint64) << np.uint64(32)) | l1.astype(np.uint64)
+    w1 = (l2.astype(np.uint64) << np.uint64(32)) | l3.astype(np.uint64)
+    return np.stack([w0, w1], axis=1)
+
+
 def _avalanche(h: jax.Array) -> jax.Array:
     """murmur3 fmix32 finalizer — full-avalanche u32 mixer."""
     h = h ^ (h >> 16)
@@ -114,6 +199,17 @@ def partition_ids(hi: jax.Array, lo: jax.Array, nb_partitions: int) -> jax.Array
     """Deterministic k-mer -> partition mapping (replaces kmtricks minimizer
     repartition; same cross-sample-consistency contract)."""
     h = _avalanche(lo ^ _avalanche(hi ^ jnp.uint32(0x9E3779B9)))
+    return (h % jnp.uint32(nb_partitions)).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("nb_partitions",))
+def partition_ids4(l0, l1, l2, l3, nb_partitions: int) -> jax.Array:
+    """4-lane variant, identical to the host chain for 2-word k-mers
+    (pipeline.count.host_partition_ids)."""
+    h = _avalanche(l0 ^ jnp.uint32(0x9E3779B9))
+    h = _avalanche(l1 ^ h)
+    h = _avalanche(l2 ^ h)
+    h = _avalanche(l3 ^ h)
     return (h % jnp.uint32(nb_partitions)).astype(jnp.uint32)
 
 

@@ -113,8 +113,44 @@ def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
     return np.concatenate(out_k), np.concatenate(out_p)
 
 
+def count_codes_device_multi(codes: np.ndarray, k: int, nb_partitions: int):
+    """Device path for 32 < k <= 64: 4 u32 lanes per k-mer."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import (
+        INVALID,
+        extract_canonical_kmers_multi,
+        lanes_to_u64_words,
+        partition_ids4,
+    )
+
+    out_k, out_p = [], []
+    stride = BLOCK - (k - 1)
+    L = len(codes)
+    for s in range(0, max(L - k + 1, 1), stride):
+        chunk = codes[s : s + BLOCK]
+        if len(chunk) < BLOCK:
+            chunk = np.concatenate(
+                [chunk, np.full(BLOCK - len(chunk), INVALID, dtype=np.uint8)]
+            )
+        l0, l1, l2, l3, ok = extract_canonical_kmers_multi(jnp.asarray(chunk), k)
+        part = partition_ids4(l0, l1, l2, l3, nb_partitions)
+        idx = np.nonzero(np.asarray(ok))[0]
+        if len(idx):
+            out_k.append(
+                lanes_to_u64_words(
+                    np.asarray(l0)[idx], np.asarray(l1)[idx],
+                    np.asarray(l2)[idx], np.asarray(l3)[idx],
+                )
+            )
+            out_p.append(np.asarray(part)[idx])
+    if not out_k:
+        return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint32)
+    return np.concatenate(out_k), np.concatenate(out_p)
+
+
 def count_codes_host(codes: np.ndarray, k: int, nb_partitions: int):
-    """Host fallback for k > 32 (multi-word k-mers)."""
+    """Host fallback for k > 64 (wider multi-word k-mers)."""
     from kmdiff_tpu.core.kmer import canonical_packed, kmers_from_codes
 
     valid = codes != 0xFF
@@ -156,6 +192,34 @@ def _sort_and_rle(kmers: np.ndarray, parts: np.ndarray):
 
         kmers_s = hi_lo_to_u64(np.asarray(hi_s)[:N], np.asarray(lo_s)[:N])
         starts = np.nonzero(np.asarray(is_start)[:N])[0]
+    elif nw == 2:
+        import jax.numpy as jnp
+
+        from kmdiff_tpu.ops.codec import lanes_to_u64_words, sort_kmers4_with_parts
+
+        P = 1 << max(10, (N - 1).bit_length())
+        pad = P - N
+        part_in = np.concatenate([parts, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        lanes = []
+        for w in (0, 1):
+            col = kmers[:, w]
+            for shift in (32, 0):
+                lanes.append(
+                    np.concatenate([
+                        ((col >> np.uint64(shift)) & np.uint64(0xFFFFFFFF))
+                        .astype(np.uint32),
+                        np.zeros(pad, np.uint32),
+                    ])
+                )
+        p_s, a, b, c, d, is_start = sort_kmers4_with_parts(
+            jnp.asarray(part_in), *(jnp.asarray(x) for x in lanes)
+        )
+        part_s = np.asarray(p_s)[:N]
+        kmers_s = lanes_to_u64_words(
+            np.asarray(a)[:N], np.asarray(b)[:N],
+            np.asarray(c)[:N], np.asarray(d)[:N],
+        )
+        starts = np.nonzero(np.asarray(is_start)[:N])[0]
     else:
         order = np.lexsort(
             tuple(kmers[:, w] for w in range(nw - 1, -1, -1)) + (parts,)
@@ -187,6 +251,8 @@ def count_sample(
         codes = _flat_codes(seqs)
         if k <= 32:
             km, pt = count_codes_device(codes, k, nb_partitions)
+        elif k <= 64:
+            km, pt = count_codes_device_multi(codes, k, nb_partitions)
         else:
             km, pt = count_codes_host(codes, k, nb_partitions)
         all_k.append(km)

@@ -240,9 +240,17 @@ class PartitionProcessor:
         hi, lo, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
 
         want_geno = self.sampler is not None
+        # compaction capacity: nonzero(size=s) cost grows superlinearly in
+        # s on TPU, so start tight (real runs keep ~1e-6 of rows at
+        # alpha/cutoff) and retry at the EXACT needed pow2 on overflow
         tight = self.params.p_threshold <= 1e-3
-        max_hits = min(pad_to, max(4096, pad_to >> 4)) if tight else pad_to
-        max_geno = min(pad_to, max(4096, pad_to >> 3)) if want_geno else 1
+        max_hits = min(pad_to, 1 << 14) if tight else pad_to
+        geno_rate = getattr(self.sampler, "rate", 0.0)
+        max_geno = (
+            min(pad_to, 1 << max(14, int(3 * geno_rate * pad_to).bit_length()))
+            if want_geno
+            else 1
+        )
 
         while True:
             out = merge_lrt_kernel(
@@ -252,7 +260,7 @@ class PartitionProcessor:
                 jnp.float32(self.params.ratio_c),
                 jnp.float32(self.params.ratio_k),
                 jnp.float32(self.params.lr_min),
-                jnp.uint32(pca_threshold_u32(getattr(self.sampler, "rate", 0.0))),
+                jnp.uint32(pca_threshold_u32(geno_rate)),
                 jnp.uint32(getattr(self.sampler, "seed", 0)),
                 max_hits,
                 max_geno,
@@ -262,10 +270,9 @@ class PartitionProcessor:
             n_geno = int(out["n_geno"]) if want_geno else 0
             if n_hits <= max_hits and n_geno <= max_geno:
                 break
-            # capacity overflow: retry with full budgets (rare: loose
-            # thresholds or extreme sampling rates)
-            max_hits = pad_to
-            max_geno = pad_to
+            max_hits = min(pad_to, 1 << max(n_hits - 1, 1).bit_length())
+            if want_geno:
+                max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
 
         n_distinct = int(out["n_distinct"])
         s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)

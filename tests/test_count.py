@@ -182,3 +182,83 @@ def test_count_hard_min(tmp_path):
     h = read_hist(str(tmp_path / "run" / "histograms" / "S1.hist"))
     assert h.total == 4
     assert h.unique == 2
+
+
+def test_device_codec_multiword_matches_host():
+    from kmdiff_tpu.pipeline.count import count_codes_device_multi
+
+    rng = np.random.default_rng(7)
+    seq = _rand_seq(rng, 400)
+    for k in (33, 40, 48, 63, 64):
+        codes, valid = seq_to_codes(seq)
+        host = canonical_packed(kmers_from_codes(codes, valid, k), k)
+        km, parts = count_codes_device_multi(_flat_codes([seq.encode()]), k, 4)
+        assert np.array_equal(km, host), f"k={k}"
+        assert np.array_equal(
+            host_partition_ids(km, 4), parts
+        ), f"k={k} partition hash"
+
+
+def test_count_then_diff_k64(tmp_path):
+    """Large-k config (BASELINE.json config 4): count + diff at k=64."""
+    rng = np.random.default_rng(8)
+    bases = np.array(list("ACGT"))
+    fof_lines = []
+    for sid in ("C1", "C2", "K1", "K2"):
+        fa = tmp_path / f"{sid}.fasta"
+        with open(fa, "w") as f:
+            for j in range(20):
+                f.write(f">r{j}\n{''.join(rng.choice(bases, 120))}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    (tmp_path / "fof.txt").write_text("\n".join(fof_lines) + "\n")
+
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+
+    run = tmp_path / "run"
+    main_count(CountOptions(fof=str(tmp_path / "fof.txt"), directory=str(run),
+                            kmer_size=64, hard_min=1, nb_partitions=2,
+                            nb_threads=1))
+    res = main_diff(DiffOptions(
+        kmtricks_dir=str(run), output_directory=str(tmp_path / "out"),
+        nb_controls=2, nb_cases=2, threshold=0.9, cutoff=1.0,
+        correction=CorrectionType.NOTHING, nb_threads=1,
+    ))
+    # every 120bp read contributes 57 64-mers; all reads distinct random
+    assert res["total_kmers"] > 0
+    from kmdiff_tpu.io.fasta import read_fasta
+
+    fa = read_fasta(tmp_path / "out" / "case_kmers.fasta")
+    assert all(len(s) == 64 for _n, s in fa)
+    assert len(fa) == res["case"]
+
+
+def test_count_k96_host_path(tmp_path):
+    """k > 64 rides the host multiword codec (3 u64 words)."""
+    rng = np.random.default_rng(9)
+    bases = np.array(list("ACGT"))
+    fa = tmp_path / "s.fasta"
+    with open(fa, "w") as f:
+        for j in range(5):
+            f.write(f">r{j}\n{''.join(rng.choice(bases, 200))}\n")
+    (tmp_path / "fof.txt").write_text(f"S1 : {fa}\n")
+    run_count(CountOptions(fof=str(tmp_path / "fof.txt"),
+                           directory=str(tmp_path / "run"), kmer_size=96,
+                           hard_min=1, nb_partitions=2, nb_threads=1))
+    from kmdiff_tpu.io.kmtricks import read_kmer_file
+
+    total = 0
+    for p in range(2):
+        info, km, ct = read_kmer_file(
+            str(tmp_path / "run" / "counts" / f"partition_{p}" / "S1.kmer.lz4"))
+        assert info.kmer_size == 96
+        assert km.shape[1] == 3
+        # partition files must be sorted (lexicographic over words)
+        if len(km) > 1:
+            rows = np.ascontiguousarray(km.astype(">u8")).tobytes()
+            keys = [rows[i * 24 : (i + 1) * 24] for i in range(len(km))]
+            assert keys == sorted(keys)
+        total += int(ct.sum())
+    assert total == 5 * (200 - 96 + 1)
