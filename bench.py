@@ -59,6 +59,32 @@ def measure_cpp_baseline() -> float:
         return FALLBACK_CPP_BASELINE
 
 
+def _timed_fori(step_fn, n_iters: int):
+    """Trustworthy device timing: one dispatch running `n_iters` data-
+    dependent iterations inside lax.fori_loop. The per-iteration input
+    perturbation blocks loop-invariant hoisting, and step_fn must fold
+    every result into the carried scalar so nothing is dead-code
+    eliminated. Async-dispatch/buffer-readiness artifacts (a real hazard
+    on remote-tunnel devices) cannot fake this number: the final scalar
+    depends on every iteration."""
+    import jax
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run():
+        return jax.lax.fori_loop(
+            0, n_iters, lambda i, acc: acc + step_fn(i), jnp.int32(0)
+        )
+
+    out = run()
+    jax.block_until_ready(out)  # warmup + compile
+    t0 = time.perf_counter()
+    out = run()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters, int(out)
+
+
 def measure_device_merge() -> float:
     """The full merge+test kernel (ops.merge_dev): S sorted per-sample
     streams -> distinct k-mers tested per second. Apples-to-apples with the
@@ -96,19 +122,30 @@ def measure_device_merge() -> float:
         want_geno=False,
     )
     out = merge_lrt_kernel(*args, **kw)
-    jax.block_until_ready(out["n_hits"])
+    jax.block_until_ready(out)
     n_distinct = int(out["n_distinct"])
-    iters = 3 if QUICK else 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = merge_lrt_kernel(*args, **kw)
-    jax.block_until_ready(out["n_hits"])
-    dt = time.perf_counter() - t0
-    v = n_distinct * iters / dt
+
+    def step(i):
+        o = merge_lrt_kernel(
+            args[0], args[1], args[2], args[3] + (i % 2), **{
+                k_: v_ for k_, v_ in kw.items()
+            },
+        )
+        acc = o["n_distinct"] + o["n_hits"]
+        for key in ("hit_hi", "hit_lo"):
+            acc = acc + o[key].astype(jnp.int32).sum()
+        for key in ("hit_sc", "hit_sk", "hit_seg", "sorted_sample",
+                    "sorted_count", "sorted_seg"):
+            acc = acc + o[key].sum()
+        return acc.astype(jnp.int32)
+
+    iters = 3 if QUICK else 20
+    dt, _chk = _timed_fori(step, iters)
+    v = n_distinct / dt
     dev = jax.devices()[0]
     log(f"[bench] device {dev.platform}:{dev.id} merge+LRT kernel: "
         f"{v:.3e} distinct kmers tested/s ({N} triples x {S} samples, "
-        f"{iters} iters, {dt:.3f}s)")
+        f"{iters} chained iters, {dt*1e3:.1f} ms/iter)")
     return v
 
 
@@ -132,20 +169,23 @@ def measure_device_lrt() -> float:
     args = (counts, jnp.float32(params.ratio_c), jnp.float32(params.ratio_k),
             jnp.float32(params.lr_min))
 
-    # compile + warm up
-    keep, lr, s_c, s_k = lrt_filter_block(args[0], nb_controls, *args[1:])
-    keep.block_until_ready()
+    def step(i):
+        keep, lr, s_c, s_k = lrt_filter_block(
+            args[0] + (i % 2), nb_controls, *args[1:]
+        )
+        return (
+            keep.sum().astype(jnp.int32)
+            + s_c.sum() + s_k.sum()
+            + lr.sum().astype(jnp.int32)
+        )
 
     iters = 3 if QUICK else 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        keep, lr, s_c, s_k = lrt_filter_block(args[0], nb_controls, *args[1:])
-    keep.block_until_ready()
-    dt = time.perf_counter() - t0
-    v = B * iters / dt
+    dt, _chk = _timed_fori(step, iters)
+    v = B / dt
     dev = jax.devices()[0]
     log(f"[bench] device {dev.platform}:{dev.id} LRT filter: "
-        f"{v:.3e} kmer/s ({B} rows x {S} samples x {iters} iters, {dt:.3f}s)")
+        f"{v:.3e} kmer/s ({B} rows x {S} samples, {iters} chained iters, "
+        f"{dt*1e3:.2f} ms/iter)")
     return v
 
 

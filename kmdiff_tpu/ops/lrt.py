@@ -124,7 +124,25 @@ def lrt_filter_block(counts, nb_controls, ratio_c, ratio_k, lr_min):
 
 def run_filter(params: LrtParams, counts: np.ndarray):
     """Host wrapper: device filter over one block; returns numpy outputs.
-    Pass int32 counts to avoid a device-side convert."""
+    Pass int32 counts to avoid a device-side convert. Routes to the Pallas
+    kernel on TPU backends when the block shape allows."""
+    from kmdiff_tpu.ops.lrt_pallas import (
+        TILE_B,
+        lrt_filter_block_pallas,
+        use_pallas,
+    )
+
+    if use_pallas() and counts.shape[0] % TILE_B == 0:
+        keep, lr, s_c, s_k = lrt_filter_block_pallas(
+            jnp.asarray(counts) if counts.dtype == np.int32
+            else jnp.asarray(counts, dtype=jnp.int32),
+            params.nb_controls,
+            jnp.float32(params.ratio_c),
+            jnp.float32(params.ratio_k),
+            jnp.float32(params.lr_min),
+        )
+        return (np.asarray(keep), np.asarray(lr), np.asarray(s_c),
+                np.asarray(s_k))
     keep, lr, s_c, s_k = lrt_filter_block(
         jnp.asarray(counts) if counts.dtype == np.int32
         else jnp.asarray(counts, dtype=jnp.int32),
