@@ -59,30 +59,32 @@ def measure_cpp_baseline() -> float:
         return FALLBACK_CPP_BASELINE
 
 
-def _timed_fori(step_fn, n_iters: int):
-    """Trustworthy device timing: one dispatch running `n_iters` data-
-    dependent iterations inside lax.fori_loop. The per-iteration input
-    perturbation blocks loop-invariant hoisting, and step_fn must fold
-    every result into the carried scalar so nothing is dead-code
-    eliminated. Async-dispatch/buffer-readiness artifacts (a real hazard
-    on remote-tunnel devices) cannot fake this number: the final scalar
-    depends on every iteration."""
-    import jax
+def _timed_chain(step_fn, n_iters: int):
+    """Trustworthy device timing under an async remote runtime.
 
+    step_fn(carry_scalar) -> carry_scalar runs the kernel with its input
+    perturbed by the carry and folds EVERY output into the returned
+    scalar. Chaining the carry through n_iters separate dispatches forces
+    the runtime to execute them serially and completely: blocking on the
+    final carry transitively waits on all n_iters executions, so neither
+    async dispatch nor per-buffer readiness can fake the number. (A
+    fori_loop variant compiles the chain into one executable but the
+    remote compile service stalls on looped sort kernels; per-dispatch
+    overhead here is real pipeline overhead anyway.)"""
+    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run():
-        return jax.lax.fori_loop(
-            0, n_iters, lambda i, acc: acc + step_fn(i), jnp.int32(0)
-        )
-
-    out = run()
-    jax.block_until_ready(out)  # warmup + compile
+    carry = jnp.int32(0)
+    carry = step_fn(carry)  # warmup/compile
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
-    out = run()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iters, int(out)
+    for _ in range(n_iters):
+        carry = step_fn(carry)
+    jax.block_until_ready(carry)
+    # NOTE: no host materialization here — on this rig the first real D2H
+    # permanently degrades dispatch latency to ~130 ms (see measure notes);
+    # block_until_ready alone does not transfer data.
+    return (time.perf_counter() - t0) / n_iters
 
 
 def measure_device_merge() -> float:
@@ -121,26 +123,23 @@ def measure_device_merge() -> float:
         max_geno=1,
         want_geno=False,
     )
-    out = merge_lrt_kernel(*args, **kw)
-    jax.block_until_ready(out)
-    n_distinct = int(out["n_distinct"])
-
-    def step(i):
+    def step(carry):
         o = merge_lrt_kernel(
-            args[0], args[1], args[2], args[3] + (i % 2), **{
-                k_: v_ for k_, v_ in kw.items()
-            },
+            args[0], args[1], args[2], args[3] + (carry % 2), **kw
         )
         acc = o["n_distinct"] + o["n_hits"]
         for key in ("hit_hi", "hit_lo"):
             acc = acc + o[key].astype(jnp.int32).sum()
-        for key in ("hit_sc", "hit_sk", "hit_seg", "sorted_sample",
-                    "sorted_count", "sorted_seg"):
+        for key in ("hit_sc", "hit_sk"):
             acc = acc + o[key].sum()
         return acc.astype(jnp.int32)
 
     iters = 3 if QUICK else 20
-    dt, _chk = _timed_fori(step, iters)
+    dt = _timed_chain(step, iters)
+    # distinct count computed host-side: reading it off the device would
+    # trip the rig's D2H slow-mode before the LRT measurement runs
+    n_distinct = len(np.unique(np.concatenate(
+        [k[:, 0] for k in kmers])))
     v = n_distinct / dt
     dev = jax.devices()[0]
     log(f"[bench] device {dev.platform}:{dev.id} merge+LRT kernel: "
@@ -169,9 +168,9 @@ def measure_device_lrt() -> float:
     args = (counts, jnp.float32(params.ratio_c), jnp.float32(params.ratio_k),
             jnp.float32(params.lr_min))
 
-    def step(i):
+    def step(carry):
         keep, lr, s_c, s_k = lrt_filter_block(
-            args[0] + (i % 2), nb_controls, *args[1:]
+            args[0] + (carry % 2), nb_controls, *args[1:]
         )
         return (
             keep.sum().astype(jnp.int32)
@@ -180,7 +179,7 @@ def measure_device_lrt() -> float:
         )
 
     iters = 3 if QUICK else 30
-    dt, _chk = _timed_fori(step, iters)
+    dt = _timed_chain(step, iters)
     v = B / dt
     dev = jax.devices()[0]
     log(f"[bench] device {dev.platform}:{dev.id} LRT filter: "
@@ -191,8 +190,8 @@ def measure_device_lrt() -> float:
 
 def main() -> None:
     baseline = measure_cpp_baseline()
-    measure_device_lrt()  # LRT-only upper bound, reported on stderr
     value = measure_device_merge()
+    measure_device_lrt()  # LRT-only upper bound, reported on stderr
     print(json.dumps({
         "metric": "kmers_tested_per_sec_per_chip",
         "value": round(value, 1),

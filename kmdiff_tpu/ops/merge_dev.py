@@ -44,7 +44,10 @@ def _avalanche(h):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb_controls", "max_hits", "max_geno", "want_geno"),
+    static_argnames=(
+        "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
+        "want_rows",
+    ),
 )
 def merge_lrt_kernel(
     hi, lo, sample, count,
@@ -54,6 +57,8 @@ def merge_lrt_kernel(
     max_hits: int,
     max_geno: int,
     want_geno: bool,
+    nb_samples: int = 0,
+    want_rows: bool = False,
 ):
     """One partition's merged test, fully on device.
 
@@ -64,9 +69,13 @@ def merge_lrt_kernel(
       n_distinct, n_hits, n_geno          scalars (i32)
       hit_hi, hit_lo [max_hits] u32       survivor k-mers (slot-compacted)
       hit_sc, hit_sk [max_hits] i32       survivor group sums
-      hit_seg [max_hits] i32              survivor segment ids (for host
-                                          count-row reconstruction)
-      geno_* (when want_geno)             sampled k-mer ids + presence rows
+      hit_rows [max_hits, S] i32          survivor per-sample count rows
+                                          (want_rows; popstrat path)
+      geno_rows [max_geno, S] u8          sampled presence rows (want_geno)
+
+    Every output is survivor-sized: nothing O(N) leaves the device (the
+    remote-tunnel D2H path runs at ~200 MB/s and would dominate the
+    kernel otherwise).
     """
     N = hi.shape[0]
 
@@ -108,20 +117,38 @@ def merge_lrt_kernel(
     tot = (s_c + s_k).astype(jnp.float32)
     keep = is_start & (lr + MARGIN_PER_COUNT * tot + MARGIN_ABS >= lr_min)
 
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # per-row segment id
-
     n_hits = jnp.sum(keep, dtype=jnp.int32)
-    hit_rows = jnp.nonzero(keep, size=max_hits, fill_value=N - 1)[0]
+    hit_start = jnp.nonzero(keep, size=max_hits, fill_value=N - 1)[0]
     out = {
         "n_distinct": n_distinct,
         "n_hits": n_hits,
-        "hit_hi": hi_s[hit_rows],
-        "hit_lo": lo_s[hit_rows],
-        "hit_sc": s_c[hit_rows],
-        "hit_sk": s_k[hit_rows],
-        "hit_seg": seg[hit_rows],
+        "hit_hi": hi_s[hit_start],
+        "hit_lo": lo_s[hit_start],
+        "hit_sc": s_c[hit_start],
+        "hit_sk": s_k[hit_start],
         "n_geno": jnp.int32(0),
     }
+
+    def dense_rows(start_rows, n_slots):
+        """Per-sample count rows for segments beginning at start_rows.
+        A segment holds at most one entry per sample, so an S-wide window
+        from the start covers it; rows from neighbouring segments and
+        padding are masked, then scattered into [n_slots, S]."""
+        win = jnp.clip(
+            start_rows[:, None] + jnp.arange(nb_samples)[None, :], 0, N - 1
+        )
+        # seg_start (computed above) maps every row to its run's start row
+        ok = (seg_start[win] == start_rows[:, None]) & ~is_pad[win]
+        samp = jnp.where(ok, sample_s[win], nb_samples)
+        rows = jnp.zeros((n_slots, nb_samples + 1), jnp.int32)
+        slot = jnp.broadcast_to(
+            jnp.arange(n_slots)[:, None], (n_slots, nb_samples)
+        )
+        rows = rows.at[slot, samp].set(jnp.where(ok, count_s[win], 0))
+        return rows[:, :nb_samples]
+
+    if want_rows:
+        out["hit_rows"] = dense_rows(hit_start, max_hits)
 
     if want_geno:
         # deterministic Bernoulli(kmer_pca) sample keyed on the k-mer value
@@ -129,18 +156,11 @@ def merge_lrt_kernel(
         h = _avalanche(hi_s ^ (_SAMPLE_SEED ^ pca_seed))
         h = _avalanche(lo_s ^ h)
         sampled = is_start & (h < pca_threshold_u32)
-        n_geno = jnp.sum(sampled, dtype=jnp.int32)
-        geno_rows = jnp.nonzero(sampled, size=max_geno, fill_value=N - 1)[0]
-        out["n_geno"] = n_geno
-        out["geno_seg"] = seg[geno_rows]
-
-    # host needs the sorted stream to rebuild per-sample rows for survivors
-    # and geno samples; returned lazily (device arrays) — the host only
-    # pulls them when popstrat/save paths are active. Padding rows export
-    # segment id N so they never alias a real segment in searchsorted.
-    out["sorted_sample"] = sample_s
-    out["sorted_count"] = count_s
-    out["sorted_seg"] = jnp.where(valid, seg, N)
+        out["n_geno"] = jnp.sum(sampled, dtype=jnp.int32)
+        geno_start = jnp.nonzero(sampled, size=max_geno, fill_value=N - 1)[0]
+        out["geno_rows"] = (dense_rows(geno_start, max_geno) > 0).astype(
+            jnp.uint8
+        )
     return out
 
 
@@ -170,18 +190,3 @@ def build_triples(
     return hi, lo, sample, count, N
 
 
-def rows_for_segments(
-    seg_ids: np.ndarray,
-    sorted_seg: np.ndarray,
-    sorted_sample: np.ndarray,
-    sorted_count: np.ndarray,
-    nb_samples: int,
-) -> np.ndarray:
-    """Host: dense [len(seg_ids), S] count rows for chosen segments, from
-    the device-sorted stream (segments are contiguous runs)."""
-    starts = np.searchsorted(sorted_seg, seg_ids, side="left")
-    ends = np.searchsorted(sorted_seg, seg_ids, side="right")
-    out = np.zeros((len(seg_ids), nb_samples), dtype=np.uint32)
-    for i, (a, b) in enumerate(zip(starts, ends)):
-        out[i, sorted_sample[a:b]] = sorted_count[a:b]
-    return out

@@ -232,7 +232,6 @@ class PartitionProcessor:
             build_triples,
             merge_lrt_kernel,
             pca_threshold_u32,
-            rows_for_segments,
         )
 
         N_real = int(sum(len(k) for k in kmers_list))
@@ -252,6 +251,7 @@ class PartitionProcessor:
             else 1
         )
 
+        S = len(kmers_list)
         while True:
             out = merge_lrt_kernel(
                 jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sample),
@@ -265,6 +265,8 @@ class PartitionProcessor:
                 max_hits,
                 max_geno,
                 want_geno,
+                nb_samples=S,
+                want_rows=self.keep_counts,
             )
             n_hits = int(out["n_hits"])
             n_geno = int(out["n_geno"]) if want_geno else 0
@@ -289,22 +291,14 @@ class PartitionProcessor:
         p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
 
         counts_rows = None
-        if self.keep_counts or want_geno:
-            sorted_seg = np.asarray(out["sorted_seg"])
-            sorted_sample = np.asarray(out["sorted_sample"])
-            sorted_count = np.asarray(out["sorted_count"])
-            S = len(kmers_list)
-            if self.keep_counts:
-                hit_seg = np.asarray(out["hit_seg"])[:n_hits][final]
-                counts_rows = rows_for_segments(
-                    hit_seg, sorted_seg, sorted_sample, sorted_count, S
-                ).astype(np.float64)
-            if want_geno:
-                geno_seg = np.asarray(out["geno_seg"])[:n_geno]
-                geno_rows = rows_for_segments(
-                    geno_seg, sorted_seg, sorted_sample, sorted_count, S
-                )
-                self.sampler.add_sampled(partition, (geno_rows > 0).astype(np.uint8))
+        if self.keep_counts:
+            counts_rows = (
+                np.asarray(out["hit_rows"])[:n_hits][final].astype(np.float64)
+            )
+        if want_geno:
+            self.sampler.add_sampled(
+                partition, np.asarray(out["geno_rows"])[:n_geno]
+            )
 
         block = KmerSignBlock(
             kmers_u64,

