@@ -198,6 +198,17 @@ def _dispatch(args) -> int:
         from kmdiff_tpu.cmd.diff import main_diff
         from kmdiff_tpu.cmd.options import DiffOptions
 
+        # reference parity warnings (src/cli.cpp:226-243)
+        if args.correction in ("benjamini", "holm"):
+            logger.warning(
+                "-c/--correction %s: all significant k-mers will live in memory.",
+                args.correction,
+            )
+        if args.in_memory:
+            logger.warning(
+                "-m/--in-memory: all significant k-mers will live in memory."
+            )
+
         opt = DiffOptions(
             kmtricks_dir=args.km_run_dir,
             output_directory=args.output_dir,
