@@ -143,6 +143,42 @@ def build_parser() -> argparse.ArgumentParser:
                     help="size of precomputed log-factorial table.")
     _add_common(dp)
 
+    # ---- popsim (working implementation of the reference's vestigial
+    # cohort simulator, include/kmdiff/cmd/popsim.hpp) -----------------------
+    sp = sub.add_parser("popsim", help="simulate a controls/cases cohort "
+                        "with planted variants + ground truth.")
+    sp.add_argument("-o", "--output-dir", default="./popsim_out")
+    sp.add_argument("-r", "--reference", default="",
+                    help="reference FASTA (synthesized when omitted).")
+    sp.add_argument("--genome-len", type=int, default=100_000)
+    sp.add_argument("-1", "--nb-controls", type=int, default=5)
+    sp.add_argument("-2", "--nb-cases", type=int, default=5)
+    sp.add_argument("--mean-sv-len", type=int, default=500)
+    sp.add_argument("--sd-sv-len", type=int, default=50)
+    sp.add_argument("--nb-sv-controls", type=int, default=5)
+    sp.add_argument("--nb-sv-cases", type=int, default=5)
+    sp.add_argument("--prob-case", type=float, default=0.1)
+    sp.add_argument("--prob-control", type=float, default=0.1)
+    sp.add_argument("--sv-per-indiv", type=float, default=0.8)
+    sp.add_argument("--read-size", type=int, default=100)
+    sp.add_argument("--coverage", type=int, default=10)
+    sp.add_argument("--error-rate", type=float, default=0.001)
+    sp.add_argument("--random-seed", type=int, default=42)
+    _add_common(sp)
+
+    # ---- call (working implementation of the reference's disabled
+    # command, include/kmdiff/cmd/call.hpp) ----------------------------------
+    lp = sub.add_parser("call", help="map significant k-mers back to a "
+                        "reference genome (exact match, TSV out).")
+    lp.add_argument("-i", "--kmer-file", required=True,
+                    help="significant k-mers (fasta or kff).")
+    lp.add_argument("-r", "--reference", required=True,
+                    help="reference genome FASTA.")
+    lp.add_argument("-o", "--output", default="calls.tsv")
+    lp.add_argument("-k", "--kmer-size", type=int, default=0,
+                    help="k (inferred from queries when 0).")
+    _add_common(lp)
+
     # ---- infos ---------------------------------------------------------------
     ip = sub.add_parser("infos", help="build/runtime infos.")
     _add_common(ip)
@@ -175,6 +211,43 @@ def _dispatch(args) -> int:
         from kmdiff_tpu.cmd.infos import main_infos
 
         print(main_infos())
+        return 0
+
+    if args.command == "popsim":
+        import json
+
+        from kmdiff_tpu.pipeline.simulate import SimOptions, simulate
+
+        res = simulate(SimOptions(
+            output_directory=args.output_dir,
+            reference=args.reference,
+            genome_len=args.genome_len,
+            nb_controls=args.nb_controls,
+            nb_cases=args.nb_cases,
+            mean_sv_len=args.mean_sv_len,
+            sd_sv_len=args.sd_sv_len,
+            nb_sv_controls=args.nb_sv_controls,
+            nb_sv_cases=args.nb_sv_cases,
+            prob_case=args.prob_case,
+            prob_control=args.prob_control,
+            sv_per_indiv=args.sv_per_indiv,
+            read_size=args.read_size,
+            coverage=args.coverage,
+            error_rate=args.error_rate,
+            seed=args.random_seed,
+        ))
+        logger.info("Simulated cohort: %s", json.dumps(res))
+        return 0
+
+    if args.command == "call":
+        from kmdiff_tpu.pipeline.call import CallOptions, main_call
+
+        main_call(CallOptions(
+            kmer_file=args.kmer_file,
+            reference=args.reference,
+            output=args.output,
+            kmer_size=args.kmer_size,
+        ))
         return 0
 
     if args.command == "count":
