@@ -213,6 +213,44 @@ def partition_ids4(l0, l1, l2, l3, nb_partitions: int) -> jax.Array:
     return (h % jnp.uint32(nb_partitions)).astype(jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("nb_partitions", "max_distinct"))
+def count_sort_rle_kernel(hi, lo, nb_partitions: int, max_distinct: int):
+    """Fused per-sample counting: sort + run-length encode on device.
+
+    hi/lo: [N] u32 canonical lanes with 0xFFFFFFFF/0xFFFFFFFF sentinels for
+    invalid windows and padding. Sorts by (partition, kmer), finds run
+    boundaries, and compacts to distinct-sized outputs — the only D2H is
+    O(distinct), not O(N) (see the axon D2H cost note in ops.merge_dev).
+
+    Returns (n_distinct i32, part_d, hi_d, lo_d, counts [max_distinct]);
+    host slices by n_distinct (retry with a larger cap on overflow).
+    """
+    N = hi.shape[0]
+    is_sent = (hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF))
+    part = jnp.where(
+        is_sent, jnp.uint32(0xFFFFFFFF), partition_ids(hi, lo, nb_partitions)
+    )
+    part_s, hi_s, lo_s = jax.lax.sort((part, hi, lo), num_keys=3)
+    valid = part_s != jnp.uint32(0xFFFFFFFF)
+    n_valid = jnp.sum(valid, dtype=jnp.int32)
+
+    first = jnp.ones(1, dtype=bool)
+    change = (
+        (part_s[1:] != part_s[:-1])
+        | (hi_s[1:] != hi_s[:-1])
+        | (lo_s[1:] != lo_s[:-1])
+    )
+    is_start = jnp.concatenate([first, change]) & valid
+    n_distinct = jnp.sum(is_start, dtype=jnp.int32)
+
+    starts = jnp.nonzero(is_start, size=max_distinct, fill_value=N)[0]
+    nxt = jnp.concatenate([starts[1:], jnp.full(1, N, starts.dtype)])
+    nxt = jnp.minimum(nxt, n_valid)
+    counts = (nxt - jnp.minimum(starts, n_valid)).astype(jnp.uint32)
+    sidx = jnp.clip(starts, 0, N - 1)
+    return n_distinct, part_s[sidx], hi_s[sidx], lo_s[sidx], counts
+
+
 @jax.jit
 def sort_kmers_with_parts(part: jax.Array, hi: jax.Array, lo: jax.Array):
     """Device sort by (partition, hi, lo) + run-start flags.

@@ -78,21 +78,15 @@ def _flat_codes(seqs: list[bytes]) -> np.ndarray:
     return encode_ascii_block(np.frombuffer(joined, dtype=np.uint8))
 
 
-def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
-    """Device path (k <= 32): canonical k-mers + partition ids, compacted.
-
-    Returns (kmers [n,1] u64, parts [n] u32) — unsorted, with duplicates.
-    """
+def _device_kmer_blocks(codes: np.ndarray, k: int):
+    """Extract canonical k-mers block-wise; results STAY on device as
+    sentinel-masked (hi, lo) lane pairs (O(N) D2H is expensive on
+    tunneled devices — see ops.merge_dev)."""
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import (
-        INVALID,
-        extract_canonical_kmers,
-        hi_lo_to_u64,
-        partition_ids,
-    )
+    from kmdiff_tpu.ops.codec import INVALID, extract_canonical_kmers
 
-    out_k, out_p = [], []
+    out = []
     stride = BLOCK - (k - 1)
     L = len(codes)
     for s in range(0, max(L - k + 1, 1), stride):
@@ -102,15 +96,78 @@ def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
                 [chunk, np.full(BLOCK - len(chunk), INVALID, dtype=np.uint8)]
             )
         hi, lo, ok = extract_canonical_kmers(jnp.asarray(chunk), k)
+        sent = jnp.uint32(0xFFFFFFFF)
+        out.append((jnp.where(ok, hi, sent), jnp.where(ok, lo, sent)))
+    return out
+
+
+def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
+    """Device path (k <= 32): canonical k-mers + partition ids, compacted.
+
+    Returns (kmers [n,1] u64, parts [n] u32) — unsorted, with duplicates.
+    Kept for tests/cross-checks; the counting pipeline uses the fused
+    count_sample_device path.
+    """
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import hi_lo_to_u64, partition_ids
+
+    out_k, out_p = [], []
+    for hi, lo in _device_kmer_blocks(codes, k):
         part = partition_ids(hi, lo, nb_partitions)
-        okh = np.asarray(ok)
-        idx = np.nonzero(okh)[0]
+        hih = np.asarray(hi)
+        loh = np.asarray(lo)
+        ok = ~((hih == 0xFFFFFFFF) & (loh == 0xFFFFFFFF))
+        idx = np.nonzero(ok)[0]
         if len(idx):
-            out_k.append(hi_lo_to_u64(np.asarray(hi)[idx], np.asarray(lo)[idx]))
+            out_k.append(hi_lo_to_u64(hih[idx], loh[idx]))
             out_p.append(np.asarray(part)[idx])
     if not out_k:
         return np.zeros((0, 1), np.uint64), np.zeros(0, np.uint32)
     return np.concatenate(out_k), np.concatenate(out_p)
+
+
+def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int):
+    """Fused device counting for k <= 32: extraction, sort, and run-length
+    encoding all on device; only distinct-sized results transfer to host.
+
+    Returns (kmers [U, 1] u64 sorted by (part, kmer), parts [U], counts [U]).
+    """
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import count_sort_rle_kernel, hi_lo_to_u64
+
+    blocks = []
+    for codes in all_codes:
+        blocks.extend(_device_kmer_blocks(codes, k))
+    if not blocks:
+        return (
+            np.zeros((0, 1), np.uint64),
+            np.zeros(0, np.uint32),
+            np.zeros(0, np.uint32),
+        )
+    his = jnp.concatenate([b[0] for b in blocks])
+    los = jnp.concatenate([b[1] for b in blocks])
+    N = his.shape[0]
+    P = 1 << max(12, (N - 1).bit_length())
+    if P > N:
+        pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
+        his = jnp.concatenate([his, pad])
+        los = jnp.concatenate([los, pad])
+
+    # distinct-count cap: start assuming >=4x duplication, retry exact
+    max_distinct = min(P, max(1 << 14, P >> 2))
+    while True:
+        n_distinct, part_d, hi_d, lo_d, counts = count_sort_rle_kernel(
+            his, los, nb_partitions, max_distinct
+        )
+        U = int(n_distinct)
+        if U <= max_distinct:
+            break
+        max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+
+    kmers = hi_lo_to_u64(np.asarray(hi_d)[:U], np.asarray(lo_d)[:U])
+    return kmers, np.asarray(part_d)[:U], np.asarray(counts)[:U]
 
 
 def count_codes_device_multi(codes: np.ndarray, k: int, nb_partitions: int):
@@ -243,15 +300,21 @@ def count_sample(
 
     Returns (kmers sorted by (part, kmer), parts, counts) pre hard-min.
     """
+    if k <= 32:
+        all_codes = []
+        for path in paths:
+            seqs = read_sequences(path)
+            if seqs:
+                all_codes.append(_flat_codes(seqs))
+        return count_sample_device(all_codes, k, nb_partitions)
+
     all_k, all_p = [], []
     for path in paths:
         seqs = read_sequences(path)
         if not seqs:
             continue
         codes = _flat_codes(seqs)
-        if k <= 32:
-            km, pt = count_codes_device(codes, k, nb_partitions)
-        elif k <= 64:
+        if k <= 64:
             km, pt = count_codes_device_multi(codes, k, nb_partitions)
         else:
             km, pt = count_codes_host(codes, k, nb_partitions)
