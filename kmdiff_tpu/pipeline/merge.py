@@ -39,6 +39,11 @@ from kmdiff_tpu.utils.logging import logger
 #: device tile height; fixed so the jitted kernel compiles once
 BLOCK_ROWS = 1 << 17
 
+#: max triples per device-merge dispatch; larger partitions stream through
+#: in k-mer key-range chunks (each chunk is segment-complete because every
+#: sample stream is sorted, so no cross-chunk stitching is needed)
+MAX_DEVICE_ROWS = 1 << 24
+
 
 def merge_sorted_streams(
     kmers_list: list[np.ndarray],
@@ -225,7 +230,68 @@ class PartitionProcessor:
     ) -> PartitionResult:
         """Device-side merge path: sort/segment-sum/compact on device; only
         survivors (and PCA sample rows) return to host
-        (kmdiff_tpu.ops.merge_dev)."""
+        (kmdiff_tpu.ops.merge_dev). Partitions above MAX_DEVICE_ROWS
+        stream through in key-range chunks."""
+        N_real = int(sum(len(k) for k in kmers_list))
+        if N_real > MAX_DEVICE_ROWS:
+            return self._process_device_merge_chunked(
+                partition, kmers_list, counts_list, acc, ksize
+            )
+        return self._device_merge_chunk(
+            partition, kmers_list, counts_list, acc, ksize, finish=True
+        )
+
+    def _process_device_merge_chunked(
+        self, partition, kmers_list, counts_list, acc, ksize
+    ) -> PartitionResult:
+        """Split the partition at common k-mer boundaries so every chunk
+        is an independent sub-partition of bounded size."""
+        N_real = sum(len(k) for k in kmers_list)
+        n_chunks = -(-N_real // (MAX_DEVICE_ROWS // 2))
+        # splitters: quantiles of the concatenated first-word keys
+        keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
+        qs = np.quantile(keys, np.linspace(0, 1, n_chunks + 1)[1:-1])
+        bounds = np.unique(qs.astype(np.uint64))
+
+        results = []
+        geno_parts = []
+        real_sampler = self.sampler
+        for c in range(len(bounds) + 1):
+            lo_b = bounds[c - 1] if c > 0 else None
+            hi_b = bounds[c] if c < len(bounds) else None
+            sub_k, sub_c = [], []
+            for km, ct in zip(kmers_list, counts_list):
+                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
+                b = np.searchsorted(km[:, 0], hi_b) if hi_b is not None else len(km)
+                sub_k.append(km[a:b])
+                sub_c.append(ct[a:b])
+            if real_sampler is not None:
+                self.sampler = _ChunkSamplerShim(real_sampler, geno_parts)
+            results.append(
+                self._device_merge_chunk(
+                    partition, sub_k, sub_c, acc, ksize, finish=False
+                )
+            )
+        self.sampler = real_sampler
+        if real_sampler is not None:
+            rows = (
+                np.concatenate(geno_parts)
+                if geno_parts
+                else np.zeros((0, len(kmers_list)), np.uint8)
+            )
+            real_sampler.add_sampled(partition, rows)
+        acc.finish()
+        return PartitionResult(
+            partition,
+            sum(r.total_kmers for r in results),
+            sum(r.nb_sign for r in results),
+            sum(r.sign_controls for r in results),
+            sum(r.sign_cases for r in results),
+        )
+
+    def _device_merge_chunk(
+        self, partition, kmers_list, counts_list, acc, ksize, finish=True
+    ) -> PartitionResult:
         import jax.numpy as jnp
 
         from kmdiff_tpu.ops.merge_dev import (
@@ -309,11 +375,25 @@ class PartitionProcessor:
             counts_rows,
         )
         acc.push_block(block)
-        acc.finish()
+        if finish:
+            acc.finish()
         n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
         return PartitionResult(
             partition, n_distinct, len(block), n_ctrl, len(block) - n_ctrl
         )
+
+
+class _ChunkSamplerShim:
+    """Collects per-chunk geno rows so the real sampler receives one
+    partition-complete matrix (chunks arrive in ascending k-mer order)."""
+
+    def __init__(self, real, sink: list):
+        self.rate = real.rate
+        self.seed = real.seed
+        self._sink = sink
+
+    def add_sampled(self, partition: int, presence: np.ndarray) -> None:
+        self._sink.append(presence)
 
     def process_matrix(
         self, partition: int, path: str, acc: IAccumulator

@@ -136,3 +136,63 @@ def test_device_filter_never_drops_f64_hits(fixture_setup):
             pv, _, _, _ = model.process_block(counts, 1)
             expected += int(np.sum(pv <= threshold))
         assert merger.nb_sign() == expected
+
+
+def test_chunked_device_merge_matches_single_dispatch(fixture_setup, monkeypatch):
+    """Key-range streaming (MAX_DEVICE_ROWS exceeded) must produce the
+    same totals, survivors, and p-values as one dispatch."""
+    import kmdiff_tpu.pipeline.merge as pm
+
+    ref_merger, ref_accs, ref_total = _run_fixture_merge(fixture_setup, 0.5)
+    ref_blocks = [list(a.blocks()) for a in ref_accs]
+
+    monkeypatch.setattr(pm, "MAX_DEVICE_ROWS", 64)  # force ~3 chunks/partition
+    merger, accs, total = _run_fixture_merge(fixture_setup, 0.5)
+    assert total == ref_total == 320
+    assert merger.nb_sign() == ref_merger.nb_sign()
+    assert merger.signs() == ref_merger.signs()
+    for p in range(4):
+        got = pm.KmerSignBlock.concat(list(accs[p].blocks()))
+        want = pm.KmerSignBlock.concat(ref_blocks[p])
+        assert np.array_equal(got.kmers, want.kmers)
+        np.testing.assert_array_equal(got.pvalues, want.pvalues)
+        np.testing.assert_array_equal(got.signs, want.signs)
+
+
+def test_chunked_device_merge_with_sampler(fixture_setup, monkeypatch):
+    """Geno sampling across chunks equals the single-dispatch sampling."""
+    import kmdiff_tpu.pipeline.merge as pm
+    from kmdiff_tpu.core.model import PoissonLikelihood
+    from kmdiff_tpu.io.accumulator import VectorAccumulator
+
+    fdir, config, totals_c, totals_k = fixture_setup
+
+    class Collect:
+        def __init__(self):
+            self.rate = 0.5
+            self.seed = 3
+            self.rows = {}
+
+        def add_sampled(self, partition, presence):
+            self.rows[partition] = presence
+
+        def sample_block(self, partition, kmers, counts, nb_controls):
+            from kmdiff_tpu.pipeline.popstrat import sample_mask
+
+            mask = sample_mask(kmers, self.rate, self.seed)
+            self.add_sampled(partition, (counts[mask] > 0).astype(np.uint8))
+
+    def run(sampler):
+        model = PoissonLikelihood(1, 1, totals_c, totals_k)
+        proc = PartitionProcessor(model, 1, 1, 0.5, keep_counts=True,
+                                  sampler=sampler)
+        accs = [VectorAccumulator() for _ in range(config.nb_partitions)]
+        GlobalMerge(proc, accs, nb_threads=1).merge_partitions(
+            get_partition_paths(fdir, config.nb_partitions))
+        return sampler.rows
+
+    ref_rows = run(Collect())
+    monkeypatch.setattr(pm, "MAX_DEVICE_ROWS", 64)
+    got_rows = run(Collect())
+    for p in range(4):
+        np.testing.assert_array_equal(got_rows[p], ref_rows[p])
