@@ -225,6 +225,12 @@ class PartitionProcessor:
         kmers, counts = merge_sorted_streams(kmers_list, counts_list)
         return self.process_arrays(partition, kmers, counts, acc, ksize)
 
+    def process_matrix(
+        self, partition: int, path: str, acc: IAccumulator
+    ) -> PartitionResult:
+        info, kmers, counts = read_matrix_file(path)
+        return self.process_arrays(partition, kmers, counts, acc, info.kmer_size)
+
     def _process_device_merge(
         self, partition, kmers_list, counts_list, acc, ksize
     ) -> PartitionResult:
@@ -394,12 +400,6 @@ class _ChunkSamplerShim:
 
     def add_sampled(self, partition: int, presence: np.ndarray) -> None:
         self._sink.append(presence)
-
-    def process_matrix(
-        self, partition: int, path: str, acc: IAccumulator
-    ) -> PartitionResult:
-        info, kmers, counts = read_matrix_file(path)
-        return self.process_arrays(partition, kmers, counts, acc, info.kmer_size)
 
 
 class GlobalMerge:
