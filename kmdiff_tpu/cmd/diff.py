@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 
 from kmdiff_tpu.cmd.options import (
-    REDO_CORRECT,
     REDO_MERGE,
     REDO_POP,
     DiffOptions,

@@ -36,7 +36,6 @@ options: `kmdiff-count.opt` or kmtricks `options.txt` (key=value, comma-sep)
 
 from __future__ import annotations
 
-import io
 import os
 import struct
 from dataclasses import dataclass, field

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
-
 from kmdiff_tpu.utils.exceptions import FormatError
 
 LZ4_MAGIC = 0x184D2204

@@ -22,7 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _EPS_CONV = 1e-6
 _G_FLOOR = 1e-305

@@ -22,7 +22,6 @@ precomputed constant. The f32 bulk filter keeps a conservative margin; the
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ keeps buckets balanced).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

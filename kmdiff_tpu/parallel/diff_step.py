@@ -12,8 +12,6 @@ block of every partition.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -22,7 +20,6 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from kmdiff_tpu.core.model import Significance
 from kmdiff_tpu.ops.lrt import MARGIN_ABS, MARGIN_PER_COUNT, _lr_from_sums
 from kmdiff_tpu.parallel.mesh import ROW_AXIS
 

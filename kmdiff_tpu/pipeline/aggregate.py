@@ -24,7 +24,7 @@ import os
 
 import numpy as np
 
-from kmdiff_tpu.core.corrector import CorrectionType, ICorrector
+from kmdiff_tpu.core.corrector import ICorrector
 from kmdiff_tpu.core.kmer import packed_to_strings
 from kmdiff_tpu.core.model import Significance
 from kmdiff_tpu.io.accumulator import IAccumulator, KmerSignBlock

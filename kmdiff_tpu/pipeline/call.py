@@ -14,7 +14,6 @@ per-base scanning.
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import numpy as np
 

@@ -34,7 +34,6 @@ from kmdiff_tpu.core.model import IModel, PoissonLikelihood, Significance
 from kmdiff_tpu.io.accumulator import IAccumulator, KmerSignBlock
 from kmdiff_tpu.io.kmtricks import read_kmer_file, read_matrix_file
 from kmdiff_tpu.ops.lrt import LrtParams, run_filter
-from kmdiff_tpu.utils.logging import logger
 
 #: device tile height; fixed so the jitted kernel compiles once
 BLOCK_ROWS = 1 << 17

@@ -39,7 +39,7 @@ import threading
 
 import numpy as np
 
-from kmdiff_tpu.core.linear_model import glm_irls, glm_newton_raphson, sigmoid
+from kmdiff_tpu.core.linear_model import glm_newton_raphson, sigmoid
 from kmdiff_tpu.core.model import chi2_sf1
 from kmdiff_tpu.io.accumulator import FileAccumulator, KmerSignBlock
 from kmdiff_tpu.utils.logging import logger
