@@ -108,10 +108,11 @@ def measure_device_merge() -> float:
         for _ in range(S)
     ]
     counts = [rng.integers(1, 32, per, dtype=np.uint32) for _ in range(S)]
-    hi, lo, sample, count, _n = build_triples(kmers, counts, N)
+    lanes, sample, count, _n = build_triples(kmers, counts, N)
     params = LrtParams(10, 10, 10**9, 10**9, 0.05 / 1e5)
-    args = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sample),
-            jnp.asarray(count))
+    lanes_d = tuple(jnp.asarray(l) for l in lanes)
+    sample_d = jnp.asarray(sample)
+    count_d = jnp.asarray(count)
     kw = dict(
         nb_controls=10,
         ratio_c=jnp.float32(params.ratio_c),
@@ -124,12 +125,10 @@ def measure_device_merge() -> float:
         want_geno=False,
     )
     def step(carry):
-        o = merge_lrt_kernel(
-            args[0], args[1], args[2], args[3] + (carry % 2), **kw
-        )
+        o = merge_lrt_kernel(lanes_d, sample_d, count_d + (carry % 2), **kw)
         acc = o["n_distinct"] + o["n_hits"]
-        for key in ("hit_hi", "hit_lo"):
-            acc = acc + o[key].astype(jnp.int32).sum()
+        for lane in o["hit_lanes"]:
+            acc = acc + lane.astype(jnp.int32).sum()
         for key in ("hit_sc", "hit_sk"):
             acc = acc + o[key].sum()
         return acc.astype(jnp.int32)

@@ -50,7 +50,7 @@ def _avalanche(h):
     ),
 )
 def merge_lrt_kernel(
-    hi, lo, sample, count,
+    lanes, sample, count,
     nb_controls: int,
     ratio_c, ratio_k, lr_min,
     pca_threshold_u32, pca_seed,
@@ -62,12 +62,13 @@ def merge_lrt_kernel(
 ):
     """One partition's merged test, fully on device.
 
-    hi/lo: [N] u32 packed k-mer lanes (padding rows = 0xFFFFFFFF/0xFFFFFFFF)
+    lanes: tuple of [N] u32 k-mer lanes, most-significant first (2 lanes
+    for k <= 32, 4 for k <= 64; padding rows = all-0xFFFFFFFF)
     sample: [N] i32, count: [N] i32 (padding: sample 0, count 0)
 
     Returns dict with:
       n_distinct, n_hits, n_geno          scalars (i32)
-      hit_hi, hit_lo [max_hits] u32       survivor k-mers (slot-compacted)
+      hit_lanes tuple of [max_hits] u32   survivor k-mers (slot-compacted)
       hit_sc, hit_sk [max_hits] i32       survivor group sums
       hit_rows [max_hits, S] i32          survivor per-sample count rows
                                           (want_rows; popstrat path)
@@ -77,18 +78,23 @@ def merge_lrt_kernel(
     remote-tunnel D2H path runs at ~200 MB/s and would dominate the
     kernel otherwise).
     """
-    N = hi.shape[0]
+    N = lanes[0].shape[0]
+    L = len(lanes)
 
-    hi_s, lo_s, sample_s, count_s = jax.lax.sort(
-        (hi, lo, sample, count), num_keys=2
-    )
+    sorted_all = jax.lax.sort((*lanes, sample, count), num_keys=L)
+    lanes_s = sorted_all[:L]
+    sample_s, count_s = sorted_all[L], sorted_all[L + 1]
 
     first = jnp.ones((1,), dtype=bool)
-    change = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    change = lanes_s[0][1:] != lanes_s[0][:-1]
+    for l in lanes_s[1:]:
+        change = change | (l[1:] != l[:-1])
     is_start = jnp.concatenate([first, change])
     # padding (sentinel kmer) contributes exactly one run at the end when
     # present; mask it out via the sentinel value
-    is_pad = (hi_s == jnp.uint32(0xFFFFFFFF)) & (lo_s == jnp.uint32(0xFFFFFFFF))
+    is_pad = lanes_s[0] == jnp.uint32(0xFFFFFFFF)
+    for l in lanes_s[1:]:
+        is_pad = is_pad & (l == jnp.uint32(0xFFFFFFFF))
     is_start = is_start & ~is_pad
     valid = ~is_pad
 
@@ -122,8 +128,7 @@ def merge_lrt_kernel(
     out = {
         "n_distinct": n_distinct,
         "n_hits": n_hits,
-        "hit_hi": hi_s[hit_start],
-        "hit_lo": lo_s[hit_start],
+        "hit_lanes": tuple(l[hit_start] for l in lanes_s),
         "hit_sc": s_c[hit_start],
         "hit_sk": s_k[hit_start],
         "n_geno": jnp.int32(0),
@@ -152,9 +157,10 @@ def merge_lrt_kernel(
 
     if want_geno:
         # deterministic Bernoulli(kmer_pca) sample keyed on the k-mer value
-        # (matches pipeline.popstrat.sample_mask)
-        h = _avalanche(hi_s ^ (_SAMPLE_SEED ^ pca_seed))
-        h = _avalanche(lo_s ^ h)
+        # (matches pipeline.popstrat.sample_mask's per-lane chain)
+        h = _SAMPLE_SEED ^ pca_seed
+        for l in lanes_s:
+            h = _avalanche(l ^ h)
         sampled = is_start & (h < pca_threshold_u32)
         out["n_geno"] = jnp.sum(sampled, dtype=jnp.int32)
         geno_start = jnp.nonzero(sampled, size=max_geno, fill_value=N - 1)[0]
@@ -171,22 +177,43 @@ def pca_threshold_u32(rate: float) -> np.uint32:
 def build_triples(
     kmers_list: list[np.ndarray], counts_list: list[np.ndarray], pad_to: int
 ):
-    """Host: per-sample sorted streams -> padded u32/i32 triple arrays."""
+    """Host: per-sample sorted streams -> padded lane/sample/count arrays.
+
+    Returns (lanes tuple of 2*nw u32 arrays [pad_to], sample i32, count
+    i32, N). Lane order is (w0_hi, w0_lo, w1_hi, w1_lo, ...): the most
+    significant lane first, so lexicographic lane sort == word order.
+    """
     sizes = [len(k) for k in kmers_list]
     N = int(np.sum(sizes))
-    hi = np.full(pad_to, 0xFFFFFFFF, dtype=np.uint32)
-    lo = np.full(pad_to, 0xFFFFFFFF, dtype=np.uint32)
+    nw = kmers_list[0].shape[1] if kmers_list else 1
+    lanes = [
+        np.full(pad_to, 0xFFFFFFFF, dtype=np.uint32) for _ in range(2 * nw)
+    ]
     sample = np.zeros(pad_to, dtype=np.int32)
     count = np.zeros(pad_to, dtype=np.int32)
     pos = 0
     for s, (k, c) in enumerate(zip(kmers_list, counts_list)):
         n = len(k)
-        v = k[:, 0]
-        hi[pos : pos + n] = (v >> np.uint64(32)).astype(np.uint32)
-        lo[pos : pos + n] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        for w in range(nw):
+            v = k[:, w]
+            lanes[2 * w][pos : pos + n] = (v >> np.uint64(32)).astype(np.uint32)
+            lanes[2 * w + 1][pos : pos + n] = (
+                v & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
         sample[pos : pos + n] = s
         count[pos : pos + n] = c.view(np.int32) if c.dtype == np.uint32 else c
         pos += n
-    return hi, lo, sample, count, N
+    return tuple(lanes), sample, count, N
+
+
+def lanes_to_words(lanes: tuple[np.ndarray, ...]) -> np.ndarray:
+    """Host: u32 lanes -> [n, nw] u64 words (core.kmer layout)."""
+    nw = len(lanes) // 2
+    words = [
+        (lanes[2 * w].astype(np.uint64) << np.uint64(32))
+        | lanes[2 * w + 1].astype(np.uint64)
+        for w in range(nw)
+    ]
+    return np.stack(words, axis=1)
 
 

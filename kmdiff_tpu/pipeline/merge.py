@@ -217,7 +217,7 @@ class PartitionProcessor:
             ksize = info.kmer_size
             kmers_list.append(kmers)
             counts_list.append(counts)
-        if self._fast and ksize <= 32 and self.save_matrix_path is None:
+        if self._fast and ksize <= 64 and self.save_matrix_path is None:
             return self._process_device_merge(
                 partition, kmers_list, counts_list, acc, ksize
             )
@@ -301,13 +301,14 @@ class PartitionProcessor:
 
         from kmdiff_tpu.ops.merge_dev import (
             build_triples,
+            lanes_to_words,
             merge_lrt_kernel,
             pca_threshold_u32,
         )
 
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
-        hi, lo, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
+        lanes, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
 
         want_geno = self.sampler is not None
         # compaction capacity: nonzero(size=s) cost grows superlinearly in
@@ -325,7 +326,8 @@ class PartitionProcessor:
         S = len(kmers_list)
         while True:
             out = merge_lrt_kernel(
-                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sample),
+                tuple(jnp.asarray(l) for l in lanes),
+                jnp.asarray(sample),
                 jnp.asarray(count),
                 self.nb_controls,
                 jnp.float32(self.params.ratio_c),
@@ -350,15 +352,11 @@ class PartitionProcessor:
         n_distinct = int(out["n_distinct"])
         s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)
         s_k = np.asarray(out["hit_sk"])[:n_hits].astype(np.int64)
-        hit_hi = np.asarray(out["hit_hi"])[:n_hits]
-        hit_lo = np.asarray(out["hit_lo"])[:n_hits]
+        hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
 
         p, sg, mc, mk = self.model.process_sums(s_c, s_k)
         final = p <= self.threshold
-        kmers_u64 = (
-            (hit_hi.astype(np.uint64) << np.uint64(32))
-            | hit_lo.astype(np.uint64)
-        )[final][:, None]
+        kmers_u64 = lanes_to_words(hit_lanes)[final]
         p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
 
         counts_rows = None

@@ -11,6 +11,7 @@ import pytest
 from kmdiff_tpu.core.model import PoissonLikelihood, Significance
 from kmdiff_tpu.io.accumulator import VectorAccumulator
 from kmdiff_tpu.io.kmtricks import get_partition_paths, get_total_kmer, read_config
+from kmdiff_tpu.io.accumulator import KmerSignBlock
 from kmdiff_tpu.pipeline.merge import (
     GlobalMerge,
     PartitionProcessor,
@@ -196,3 +197,87 @@ def test_chunked_device_merge_with_sampler(fixture_setup, monkeypatch):
     got_rows = run(Collect())
     for p in range(4):
         np.testing.assert_array_equal(got_rows[p], ref_rows[p])
+
+
+def test_device_merge_empty_partition(tmp_path):
+    """A partition where no sample has k-mers must not crash and count 0."""
+    from kmdiff_tpu.io.kmtricks import write_kmer_file
+
+    paths = []
+    for sid in ("A", "B"):
+        p = tmp_path / f"{sid}.kmer.lz4"
+        write_kmer_file(str(p), np.zeros((0, 1), np.uint64),
+                        np.zeros(0, np.uint32), 21, 0, 0)
+        paths.append(str(p))
+    model = PoissonLikelihood(1, 1, [100], [100])
+    proc = PartitionProcessor(model, 1, 1, 0.5)
+    acc = VectorAccumulator()
+    res = proc.process_files(0, paths, acc)
+    assert res.total_kmers == 0
+    assert res.nb_sign == 0
+
+
+def test_device_merge_single_sample_has_kmers(tmp_path):
+    from kmdiff_tpu.core.kmer import string_to_packed
+    from kmdiff_tpu.io.kmtricks import write_kmer_file
+
+    km = np.sort(np.stack([string_to_packed("ACGTACGTACGTACGTACGTA"),
+                           string_to_packed("TTTTACGTACGTACGTACGTA")])[:, :1],
+                 axis=0).astype(np.uint64)
+    pa = tmp_path / "A.kmer.lz4"
+    pb = tmp_path / "B.kmer.lz4"
+    write_kmer_file(str(pa), km, np.array([5, 9], np.uint32), 21, 0, 0)
+    write_kmer_file(str(pb), np.zeros((0, 1), np.uint64),
+                    np.zeros(0, np.uint32), 21, 1, 0)
+    model = PoissonLikelihood(1, 1, [1000], [1000])
+    proc = PartitionProcessor(model, 1, 1, 1.0)
+    acc = VectorAccumulator()
+    res = proc.process_files(0, [str(pa), str(pb)], acc)
+    assert res.total_kmers == 2
+    blk = next(iter(acc.blocks()))
+    assert len(blk) == 2
+    # all counts on the control side -> CONTROL sign
+    assert (blk.signs == 0).all()
+
+
+def test_device_merge_k40_matches_host_path(tmp_path):
+    """4-lane device merge (32 < k <= 64) == dense host scoring."""
+    from kmdiff_tpu.core.kmer import kmers_from_codes, seq_to_codes, canonical_packed, sort_packed
+    from kmdiff_tpu.io.kmtricks import write_kmer_file
+
+    k = 40
+    rng = np.random.default_rng(11)
+    paths = []
+    sample_kmers = []
+    for sid in ("A", "B", "C", "D"):
+        seq = "".join(rng.choice(list("ACGT"), 500))
+        codes, valid = seq_to_codes(seq)
+        km = canonical_packed(kmers_from_codes(codes, valid, k), k)
+        km, = sort_packed(km)
+        # dedup with counts
+        uniq, counts = np.unique(km, axis=0, return_counts=True)
+        p = tmp_path / f"{sid}.kmer.lz4"
+        write_kmer_file(str(p), uniq, counts.astype(np.uint32), k, 0, 0)
+        paths.append(str(p))
+        sample_kmers.append((uniq, counts.astype(np.uint32)))
+
+    model = PoissonLikelihood(2, 2, [1000, 1000], [1000, 1000])
+    # device path
+    proc = PartitionProcessor(model, 2, 2, 0.9)
+    acc_dev = VectorAccumulator()
+    res = proc.process_files(0, paths, acc_dev)
+
+    # host reference scoring
+    kmers, counts = merge_sorted_streams(
+        [x[0] for x in sample_kmers], [x[1] for x in sample_kmers]
+    )
+    pv, sg, mc, mk = model.process_block(counts, 2)
+    keep = pv <= 0.9
+    assert res.total_kmers == len(kmers)
+    blk = KmerSignBlock.concat(list(acc_dev.blocks())) if acc_dev.size() else None
+    from kmdiff_tpu.io.accumulator import KmerSignBlock as KSB
+
+    assert blk is not None
+    assert np.array_equal(blk.kmers, kmers[keep])
+    np.testing.assert_array_equal(blk.pvalues, pv[keep])
+    np.testing.assert_array_equal(blk.signs, sg[keep])

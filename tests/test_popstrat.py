@@ -320,3 +320,36 @@ def test_popstrat_resume_uses_corrected_spills(stratified_cohort):
     assert set(pvals("case_kmers.fasta")) <= set(
         pvals("case_kmers.fasta") + [0.0]
     )  # sanity: parse works
+
+
+def test_pop_correction_with_covariates_and_gender(stratified_cohort):
+    """Exercise the covariates + gender feature columns end-to-end."""
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+    from kmdiff_tpu.io.kmtricks import read_fof
+
+    out, run_dir, nc, nk = stratified_cohort
+    fof = read_fof(run_dir)
+    cov_path = os.path.join(out, "covariates.txt")
+    with open(cov_path, "w") as f:
+        f.write(" ".join(str(0.1 * i) for i in range(nc + nk)) + "\n")
+    gender_path = os.path.join(out, "gender.txt")
+    with open(gender_path, "w") as f:
+        for i, e in enumerate(fof.entries):
+            f.write(f"{e.id} {'M' if i % 2 else 'F'}\n")
+
+    res = main_diff(DiffOptions(
+        kmtricks_dir=run_dir,
+        output_directory=os.path.join(out, "diff_covg"),
+        nb_controls=nc, nb_cases=nk,
+        threshold=0.2, cutoff=1.0,
+        correction=CorrectionType.NOTHING,
+        pop_correction=True, kmer_pca=0.05, npc=2,
+        covariates=cov_path, gender=gender_path,
+        nb_threads=2,
+    ))
+    assert res["total_kmers"] > 0
+    ind = open(os.path.join(out, "diff_covg", "popstrat",
+                            "gwas_eigenstratX.ind")).read()
+    assert "\tM\t" in ind and "\tF\t" in ind
