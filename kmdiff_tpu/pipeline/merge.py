@@ -260,7 +260,11 @@ class PartitionProcessor:
 
         results = []
         geno_parts = []
-        real_sampler = self.sampler
+        shim = (
+            _ChunkSamplerShim(self.sampler, geno_parts)
+            if self.sampler is not None
+            else None
+        )
         for c in range(len(bounds) + 1):
             lo_b = bounds[c - 1] if c > 0 else None
             hi_b = bounds[c] if c < len(bounds) else None
@@ -270,21 +274,19 @@ class PartitionProcessor:
                 b = np.searchsorted(km[:, 0], hi_b) if hi_b is not None else len(km)
                 sub_k.append(km[a:b])
                 sub_c.append(ct[a:b])
-            if real_sampler is not None:
-                self.sampler = _ChunkSamplerShim(real_sampler, geno_parts)
             results.append(
                 self._device_merge_chunk(
-                    partition, sub_k, sub_c, acc, ksize, finish=False
+                    partition, sub_k, sub_c, acc, ksize, finish=False,
+                    sampler_override=shim,
                 )
             )
-        self.sampler = real_sampler
-        if real_sampler is not None:
+        if self.sampler is not None:
             rows = (
                 np.concatenate(geno_parts)
                 if geno_parts
                 else np.zeros((0, len(kmers_list)), np.uint8)
             )
-            real_sampler.add_sampled(partition, rows)
+            self.sampler.add_sampled(partition, rows)
         acc.finish()
         return PartitionResult(
             partition,
@@ -295,7 +297,8 @@ class PartitionProcessor:
         )
 
     def _device_merge_chunk(
-        self, partition, kmers_list, counts_list, acc, ksize, finish=True
+        self, partition, kmers_list, counts_list, acc, ksize, finish=True,
+        sampler_override=None,
     ) -> PartitionResult:
         import jax.numpy as jnp
 
@@ -310,13 +313,14 @@ class PartitionProcessor:
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
         lanes, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
 
-        want_geno = self.sampler is not None
+        sampler = sampler_override if sampler_override is not None else self.sampler
+        want_geno = sampler is not None
         # compaction capacity: nonzero(size=s) cost grows superlinearly in
         # s on TPU, so start tight (real runs keep ~1e-6 of rows at
         # alpha/cutoff) and retry at the EXACT needed pow2 on overflow
         tight = self.params.p_threshold <= 1e-3
         max_hits = min(pad_to, 1 << 14) if tight else pad_to
-        geno_rate = getattr(self.sampler, "rate", 0.0)
+        geno_rate = getattr(sampler, "rate", 0.0)
         max_geno = (
             min(pad_to, 1 << max(14, int(3 * geno_rate * pad_to).bit_length()))
             if want_geno
@@ -334,7 +338,7 @@ class PartitionProcessor:
                 jnp.float32(self.params.ratio_k),
                 jnp.float32(self.params.lr_min),
                 jnp.uint32(pca_threshold_u32(geno_rate)),
-                jnp.uint32(getattr(self.sampler, "seed", 0)),
+                jnp.uint32(getattr(sampler, "seed", 0)),
                 max_hits,
                 max_geno,
                 want_geno,
@@ -365,7 +369,7 @@ class PartitionProcessor:
                 np.asarray(out["hit_rows"])[:n_hits][final].astype(np.float64)
             )
         if want_geno:
-            self.sampler.add_sampled(
+            sampler.add_sampled(
                 partition, np.asarray(out["geno_rows"])[:n_geno]
             )
 
