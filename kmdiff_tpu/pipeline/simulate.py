@@ -121,7 +121,11 @@ def simulate(opt: SimOptions) -> dict:
         g = _individual_genome(genome, own, carried_own)
         g = _individual_genome(g, other, carried_other)
         reads = _shred(rng, g, opt.read_size, opt.coverage, opt.error_rate)
-        path = os.path.join(opt.output_directory, f"{sid}.fasta")
+        # absolute path: fof entries resolve relative to the fof's own
+        # directory downstream (io.kmtricks semantics)
+        path = os.path.abspath(
+            os.path.join(opt.output_directory, f"{sid}.fasta")
+        )
         with open(path, "wb") as f:
             for j, r in enumerate(reads):
                 f.write(b">r%d\n" % j)
