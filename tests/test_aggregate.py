@@ -153,3 +153,59 @@ def test_kff_aggregator_output(tmp_path):
         assert list(r.kmers()) == [seqs[0], seqs[2]]
     with KffReader(str(tmp_path / "case_kmers.kff")) as r:
         assert list(r.kmers()) == [seqs[1], seqs[3], seqs[4], seqs[5]]
+
+
+@pytest.mark.parametrize("ctype", [
+    CorrectionType.NOTHING, CorrectionType.BONFERRONI, CorrectionType.SIDAK,
+    CorrectionType.BENJAMINI, CorrectionType.HOLM,
+])
+def test_aggregator_matches_reference_simulation(tmp_path, ctype):
+    """Randomized adversarial check against a faithful Python simulation of
+    the reference's aggregation (per-partition drain + corrector calls for
+    streaming types; global min-p priority-queue walk with
+    stop-at-first-rejection for sorted types; CONTROL vs CASE+NO routing).
+    Includes duplicated p-values to exercise tie handling."""
+    rng = np.random.default_rng(int(ctype) + 10)
+    total = 5000
+    alpha = 0.05
+    blocks, sim_items = [], []
+    for part in range(3):
+        n = 30
+        pv = rng.uniform(0, 0.02, n)
+        pv[rng.random(n) < 0.3] = 0.001  # ties
+        b, seqs = _rand_block(rng, n, pvals=pv)
+        blocks.append(b)
+        for i in range(n):
+            sim_items.append((part, float(b.pvalues[i]), int(b.signs[i]),
+                              seqs[i]))
+
+    agg = _agg(tmp_path, blocks, ctype, alpha, total)
+
+    # --- reference simulation ---
+    from kmdiff_tpu.core.corrector import make_corrector
+
+    corrector = make_corrector(ctype, alpha, total)
+    control_sim, case_sim = [], []
+    if ctype in (CorrectionType.BENJAMINI, CorrectionType.HOLM):
+        # sorted_aggregator: ascending p walk, stop at first rejection
+        for part, p, sign, seq in sorted(sim_items, key=lambda t: t[1]):
+            if not corrector.apply(p):
+                break
+            (control_sim if sign == 0 else case_sim).append(seq)
+    else:
+        # streaming aggregator: per-partition drain (order-free predicates)
+        for part, p, sign, seq in sim_items:
+            if corrector.apply(p):
+                (control_sim if sign == 0 else case_sim).append(seq)
+
+    control = [s for _n, s in read_fasta(tmp_path / "control_kmers.fasta")]
+    case = [s for _n, s in read_fasta(tmp_path / "case_kmers.fasta")]
+    if ctype in (CorrectionType.BENJAMINI, CorrectionType.HOLM):
+        # tie order within equal p may differ; sets and sizes must match
+        assert len(control) == len(control_sim)
+        assert len(case) == len(case_sim)
+        assert set(control) == set(control_sim)
+        assert set(case) == set(case_sim)
+    else:
+        assert sorted(control) == sorted(control_sim)
+        assert sorted(case) == sorted(case_sim)
