@@ -6,19 +6,24 @@ the merge callback (reference: include/kmdiff/merge.hpp:44-432,
 kmtricks KmerMerger). That design is a scalar pointer-chasing loop — the
 exact shape TPUs are worst at.
 
-Re-design (TPU-first):
-  1. every per-sample stream is decoded to columnar arrays (kmers, counts);
-  2. the S-way merge becomes one vectorized sort-unique-scatter producing a
-     dense [U, S] count matrix per partition (no heap, no per-row branch);
-  3. the LRT runs as a blocked device kernel over fixed [BLOCK, S] tiles
-     (kmdiff_tpu.ops.lrt) with a monotone LR threshold replacing the
-     per-row chi-square transcendental;
-  4. only survivors come back to host, where the exact f64 model rescorer
-     (kmdiff_tpu.core.model) reproduces kmdiff's p-values bit-for-bit.
+Re-design (TPU-first). Two paths share the exact-f64 rescore contract:
+
+* DEVICE path (default, Poisson model, k <= 64): raw per-sample
+  (kmer, sample, count) triples ship to HBM once; ops.merge_dev sorts,
+  segment-reduces, LR-filters and compacts survivors on device — only
+  survivor-sized outputs return. Oversized partitions stream through in
+  key-range chunks (each chunk is segment-complete because sample streams
+  are sorted).
+* HOST path (custom models, --save-sk, matrix streaming, k > 64): a
+  vectorized sort-unique-scatter builds the dense [U, S] matrix and the
+  blocked ops.lrt filter (Pallas on TPU backends) scans it.
+
+Either way the small survivor set is re-scored in exact f64
+(kmdiff_tpu.core.model), reproducing kmdiff's p-values bit-for-bit.
 
 Partitions are embarrassingly parallel (reference: merge.hpp:259-309); here
-they stream through a thread pool that overlaps file IO + host merge with
-device compute, and across hosts they shard over the jax process mesh
+they stream through a thread pool that overlaps file IO with device
+dispatches, and across hosts they shard over the jax process mesh
 (kmdiff_tpu.parallel).
 """
 
