@@ -100,6 +100,72 @@ def read_fasta(path: str) -> list[tuple[str, str]]:
     return list(iter_records(path))
 
 
+def flat_codes(path: str) -> np.ndarray:
+    """Vectorized FASTA/FASTQ -> 2-bit code stream for the counting engine.
+
+    One pass over the raw bytes, no per-read Python loop:
+      * header lines ('>' / '@') and FASTQ '+'/quality lines are masked to
+        the INVALID code, so they break k-mer windows exactly like read
+        boundaries;
+      * newlines are then deleted, which JOINS multi-line FASTA sequences
+        (correct) while the masked header between reads still separates
+        them.
+    Falls back to the record parser for malformed FASTQ (records must be
+    strict 4-line groups).
+    """
+    from kmdiff_tpu.ops.codec import INVALID, encode_ascii_block
+
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            buf = np.frombuffer(f.read(), dtype=np.uint8)
+    else:
+        with open(path, "rb") as f:
+            buf = np.frombuffer(f.read(), dtype=np.uint8)
+    if len(buf) == 0:
+        return np.zeros(0, np.uint8)
+
+    codes = encode_ascii_block(buf)
+    nl = buf == 0x0A
+    # line starts: position 0 + every position after a newline
+    starts = np.flatnonzero(np.concatenate([[True], nl[:-1]]))
+    starts = starts[starts < len(buf)]
+    first = buf[starts]
+
+    if buf[0] == 0x3E:  # '>' FASTA
+        # mask header lines: line extents via the next start
+        ends = np.append(starts[1:], len(buf))
+        hdr = first == 0x3E
+        mask = np.zeros(len(buf) + 1, np.int8)
+        np.add.at(mask, starts[hdr], 1)
+        np.add.at(mask, ends[hdr], -1)
+        in_hdr = np.cumsum(mask[:-1]) > 0
+        codes[in_hdr] = INVALID
+    elif buf[0] == 0x40:  # '@' FASTQ
+        # drop empty trailing lines for the shape check
+        real = starts[starts < len(buf)]
+        if len(real) % 4 == 0 and (buf[real[0::4]] == 0x40).all() and (
+            buf[real[2::4]] == 0x2B
+        ).all():
+            ends = np.append(real[1:], len(buf))
+            keep_line = np.zeros(len(real), bool)
+            keep_line[1::4] = True  # sequence lines only
+            mask = np.zeros(len(buf) + 1, np.int8)
+            np.add.at(mask, real[~keep_line], 1)
+            np.add.at(mask, ends[~keep_line], -1)
+            in_other = np.cumsum(mask[:-1]) > 0
+            codes[in_other] = INVALID
+        else:  # malformed / multi-line FASTQ: generic parser
+            from kmdiff_tpu.ops.codec import encode_ascii_block as _enc
+
+            seqs = read_sequences(path)
+            joined = b"\xff".join(bytes(s) for s in seqs)
+            return _enc(np.frombuffer(joined, dtype=np.uint8))
+    else:
+        raise ValueError(f"{path}: not FASTA/FASTQ")
+
+    return codes[~nl]
+
+
 def sequences_to_arrays(seqs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Pack sequences into (flat uint8 ascii, offsets int64 [n+1]) — the
     columnar shape the counting kernels consume."""

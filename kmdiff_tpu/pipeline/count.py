@@ -300,20 +300,17 @@ def count_sample(
 
     Returns (kmers sorted by (part, kmer), parts, counts) pre hard-min.
     """
+    from kmdiff_tpu.io.fasta import flat_codes
+
     if k <= 32:
-        all_codes = []
-        for path in paths:
-            seqs = read_sequences(path)
-            if seqs:
-                all_codes.append(_flat_codes(seqs))
+        all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
         return count_sample_device(all_codes, k, nb_partitions)
 
     all_k, all_p = [], []
     for path in paths:
-        seqs = read_sequences(path)
-        if not seqs:
+        codes = flat_codes(path)
+        if not len(codes):
             continue
-        codes = _flat_codes(seqs)
         if k <= 64:
             km, pt = count_codes_device_multi(codes, k, nb_partitions)
         else:

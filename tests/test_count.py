@@ -262,3 +262,75 @@ def test_count_k96_host_path(tmp_path):
             assert keys == sorted(keys)
         total += int(ct.sum())
     assert total == 5 * (200 - 96 + 1)
+
+
+def test_flat_codes_vectorized_parser(tmp_path):
+    """Vectorized FASTA/FASTQ -> codes equals the record-parser path,
+    including multi-line FASTA joins and FASTQ quality masking."""
+    from kmdiff_tpu.io.fasta import flat_codes, read_sequences
+    from kmdiff_tpu.ops.codec import INVALID
+
+    fa = tmp_path / "m.fasta"
+    fa.write_text(">r1 desc\nACGTAC\nGTTT\n>r2\nGGGG\n")
+    codes = flat_codes(str(fa))
+    # reconstruct: valid runs must be the joined sequences
+    runs = []
+    cur = []
+    for c in codes:
+        if c == INVALID:
+            if cur:
+                runs.append(cur)
+                cur = []
+        else:
+            cur.append(int(c))
+    if cur:
+        runs.append(cur)
+    seqs = read_sequences(str(fa))
+    from kmdiff_tpu.core.kmer import seq_to_codes
+
+    expect = [list(seq_to_codes(s)[0]) for s in seqs]
+    assert runs == expect
+    assert seqs == [b"ACGTACGTTT", b"GGGG"]
+
+    # FASTQ with ACGT-looking quality bytes must not leak into codes
+    fq = tmp_path / "m.fastq"
+    fq.write_text("@r1\nACGT\n+\nACGT\n@r2\nTTTT\n+\nGGGG\n")
+    codes_q = flat_codes(str(fq))
+    runs_q = []
+    cur = []
+    for c in codes_q:
+        if c == INVALID:
+            if cur:
+                runs_q.append(cur)
+                cur = []
+        else:
+            cur.append(int(c))
+    if cur:
+        runs_q.append(cur)
+    expect_q = [list(seq_to_codes(s)[0]) for s in (b"ACGT", b"TTTT")]
+    assert runs_q == expect_q
+
+
+def test_flat_codes_gz_and_counting_equivalence(tmp_path):
+    import gzip as _gz
+
+    from kmdiff_tpu.io.fasta import flat_codes
+
+    rng = np.random.default_rng(13)
+    seqs = ["".join(rng.choice(list("ACGT"), 80)) for _ in range(30)]
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs))
+    (tmp_path / "a.fasta").write_text(text)
+    with _gz.open(tmp_path / "a.fasta.gz", "wt") as f:
+        f.write(text)
+    np.testing.assert_array_equal(
+        flat_codes(str(tmp_path / "a.fasta")),
+        flat_codes(str(tmp_path / "a.fasta.gz")),
+    )
+
+    # counting through the new parser matches the per-read path
+    kmers, parts, counts = count_sample([str(tmp_path / "a.fasta")], 21, 4)
+    codes = _flat_codes([s.encode() for s in seqs])
+    km2, pt2 = count_codes_device(codes, 21, 4)
+    uniq = np.unique(km2[:, 0])
+    assert np.array_equal(np.sort(kmers[:, 0]), np.sort(uniq))
+    assert counts.sum() == len(km2)

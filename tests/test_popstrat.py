@@ -353,3 +353,26 @@ def test_pop_correction_with_covariates_and_gender(stratified_cohort):
     ind = open(os.path.join(out, "diff_covg", "popstrat",
                             "gwas_eigenstratX.ind")).read()
     assert "\tM\t" in ind and "\tF\t" in ind
+
+
+def test_irls_matches_sklearn():
+    """Independent cross-check: our IRLS MLE ~= sklearn's unregularized
+    logistic regression on a well-conditioned problem."""
+    sklearn = pytest.importorskip("sklearn.linear_model")
+    rng = np.random.default_rng(12)
+    n = 200
+    X = np.column_stack([
+        np.ones(n),
+        rng.normal(0, 1, n),
+        rng.normal(0, 1, n),
+    ])
+    logits = 0.5 + 1.2 * X[:, 1] - 0.7 * X[:, 2]
+    y = (rng.random(n) < sigmoid(logits)).astype(float)
+
+    w_ours, singular, nan, _err, _it = glm_irls(X, y, max_iters=200)
+    assert not singular and not nan
+
+    lr = sklearn.LogisticRegression(penalty=None, fit_intercept=False,
+                                    max_iter=500, tol=1e-10)
+    lr.fit(X, y)
+    np.testing.assert_allclose(w_ours, lr.coef_[0], rtol=5e-3, atol=5e-3)
