@@ -285,6 +285,10 @@ class PopStratCorrector:
 
     # -- batched correction ---------------------------------------------------
 
+    #: alt fits per device dispatch: bounds HBM ([CHUNK, n, F] tensors) and
+    #: keeps straggler convergence from stalling the whole batch
+    BATCH_CHUNK = 1 << 14
+
     def correct_block(self, block: KmerSignBlock) -> None:
         """Correct a block of significant k-mers in place (batched device
         IRLS; replaces the per-k-mer scalar loop popstrat.hpp:249-333)."""
@@ -298,17 +302,25 @@ class PopStratCorrector:
         if block.counts_ratio is None:
             raise ValueError("popstrat needs count-carrying accumulators")
         dt = default_dtype()
-
-        ratios = block.counts_ratio / self.totals[None, :]
-        X = np.broadcast_to(
-            self.alt_features, (B, *self.alt_features.shape)
-        ).copy()
-        X[:, :, -1] = ratios
-        Xd = jnp.asarray(X, dtype=dt)
         yd = jnp.asarray(self.Y, dtype=dt)
+        ratios = block.counts_ratio / self.totals[None, :]
 
-        W, _err, _iters = batched_irls(Xd, yd, self.max_iteration)
-        alt_ll = np.asarray(log_likelihood(Xd, W, yd), dtype=np.float64)
+        alt_ll = np.empty(B, dtype=np.float64)
+        for lo in range(0, B, self.BATCH_CHUNK):
+            hi = min(B, lo + self.BATCH_CHUNK)
+            # ragged tails of multi-chunk batches pad to the full chunk so
+            # the jit compiles one shape (pad rows carry ratio 0)
+            n_pad = self.BATCH_CHUNK - (hi - lo) if B > self.BATCH_CHUNK else 0
+            X = np.broadcast_to(
+                self.alt_features,
+                (hi - lo + n_pad, *self.alt_features.shape),
+            ).copy()
+            X[: hi - lo, :, -1] = ratios[lo:hi]
+            Xd = jnp.asarray(X, dtype=dt)
+            W, _err, _iters = batched_irls(Xd, yd, self.max_iteration)
+            alt_ll[lo:hi] = np.asarray(
+                log_likelihood(Xd, W, yd), dtype=np.float64
+            )[: hi - lo]
 
         llr = -2.0 * (self.null_loglik - alt_ll)
         llr = np.where(
