@@ -143,8 +143,19 @@ def do_correction(opt: DiffOptions, config, accumulators, total_kmers: int) -> t
 
 def main_diff(opt: DiffOptions) -> dict:
     """Orchestrator with resume (reference: diff.hpp:262-377)."""
+    from kmdiff_tpu.io.kmtricks import read_fof
+    from kmdiff_tpu.utils.exceptions import InputError
+
     whole = Timer()
     config = read_config(opt.kmtricks_dir)
+
+    n_fof = len(read_fof(opt.kmtricks_dir))
+    if opt.nb_controls + opt.nb_cases != n_fof:
+        raise InputError(
+            f"cohort size mismatch: -1 {opt.nb_controls} + -2 {opt.nb_cases} "
+            f"= {opt.nb_controls + opt.nb_cases}, but the run dir's fof has "
+            f"{n_fof} samples"
+        )
 
     os.makedirs(opt.output_directory, exist_ok=True)
     part_dir = os.path.join(opt.output_directory, "partitions")

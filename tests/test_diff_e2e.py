@@ -216,3 +216,11 @@ def test_diff_with_model_plugin(fixture_dir, tmp_path):
     assert res["total_kmers"] == 320
     # fixture samples are disjoint: every k-mer is infinitely fold-changed
     assert res["control"] + res["case"] == 320
+
+
+def test_diff_cohort_size_mismatch(fixture_dir, tmp_path):
+    from kmdiff_tpu.utils.exceptions import InputError
+
+    with pytest.raises(InputError, match="cohort size mismatch"):
+        main_diff(_opts(fixture_dir, tmp_path / "out", nb_controls=2,
+                        nb_cases=3))
