@@ -334,3 +334,35 @@ def test_flat_codes_gz_and_counting_equivalence(tmp_path):
     uniq = np.unique(km2[:, 0])
     assert np.array_equal(np.sort(kmers[:, 0]), np.sort(uniq))
     assert counts.sum() == len(km2)
+
+
+def test_count_multi_file_sample_and_fof_ab_min(tmp_path):
+    """fof features: multiple read files per sample ('a; b') and per-sample
+    hard-min override ('! n') (reference: kmtricks fof syntax)."""
+    (tmp_path / "a.fasta").write_text(">r\nAAAAAA\n")   # AAAA x3
+    (tmp_path / "b.fasta").write_text(">r\nAAAAA\n")    # AAAA x2 more
+    (tmp_path / "c.fasta").write_text(">r\nAAAACCCC\n")  # AAAA x1, others
+    fof = tmp_path / "fof.txt"
+    fof.write_text(
+        f"S1 : {tmp_path}/a.fasta; {tmp_path}/b.fasta\n"
+        f"S2 : {tmp_path}/c.fasta ! 2\n"
+    )
+    run_count(CountOptions(fof=str(fof), directory=str(tmp_path / "run"),
+                           kmer_size=4, hard_min=1, nb_partitions=2,
+                           nb_threads=1))
+    from kmdiff_tpu.io.kmtricks import read_kmer_file
+
+    def sample_counts(sid):
+        got = {}
+        for p in range(2):
+            _i, km, ct = read_kmer_file(str(
+                tmp_path / "run" / "counts" / f"partition_{p}" / f"{sid}.kmer.lz4"))
+            for s, c in zip(packed_to_strings(km, 4), ct.tolist()):
+                got[s] = c
+        return got
+
+    s1 = sample_counts("S1")
+    assert s1["AAAA"] == 5  # counts accumulate across the sample's files
+    s2 = sample_counts("S2")
+    # S2's ab_min override (2) drops its count-1 k-mers (AAAA appears once)
+    assert "AAAA" not in s2
