@@ -179,6 +179,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="k (inferred from queries when 0).")
     _add_common(lp)
 
+    # ---- warmup --------------------------------------------------------------
+    wp = sub.add_parser("warmup", help="pre-compile device kernels for a "
+                        "cohort config (populates the persistent XLA cache).")
+    wp.add_argument("-1", "--nb-controls", type=int, required=True)
+    wp.add_argument("-2", "--nb-cases", type=int, required=True)
+    wp.add_argument("-k", "--kmer-size", type=int, default=31)
+    wp.add_argument("--pop", action="store_true",
+                    help="also compile the popstrat IRLS kernels.")
+    wp.add_argument("--n-pc", type=int, default=2)
+    _add_common(wp)
+
     # ---- infos ---------------------------------------------------------------
     ip = sub.add_parser("infos", help="build/runtime infos.")
     _add_common(ip)
@@ -237,6 +248,13 @@ def _dispatch(args) -> int:
             seed=args.random_seed,
         ))
         logger.info("Simulated cohort: %s", json.dumps(res))
+        return 0
+
+    if args.command == "warmup":
+        from kmdiff_tpu.cmd.warmup import main_warmup
+
+        main_warmup(args.nb_controls, args.nb_cases, args.kmer_size,
+                    pop=args.pop, npc=args.n_pc)
         return 0
 
     if args.command == "call":

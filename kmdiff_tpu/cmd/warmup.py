@@ -1,0 +1,98 @@
+"""`kmdiff-tpu warmup`: pre-compile the canonical device kernels.
+
+First-time kernel compilation on remote-compile TPU rigs costs 40-90 s per
+shape (and the popstrat IRLS loop several minutes); the persistent XLA
+cache (enabled in kmdiff_tpu.__init__) makes that a one-time cost — this
+command pays it up front for a given cohort configuration so production
+runs start hot.
+
+Shapes warmed per (nb_controls, nb_cases, k):
+  * the merge+LRT kernel at the standard pad buckets (tight + full
+    compaction budgets),
+  * the LRT filter tile (lax + Pallas when on a TPU backend),
+  * the counting extraction + fused sort/RLE kernels,
+  * the batched-IRLS corrector chunk (when --pop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kmdiff_tpu.utils.logging import logger
+from kmdiff_tpu.utils.timer import Timer
+
+
+def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
+                pop: bool = False, npc: int = 2,
+                pad_buckets: tuple[int, ...] = (1 << 12, 1 << 16, 1 << 21)) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    timer = Timer()
+    S = nb_controls + nb_cases
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    logger.info("Warming kernels on %s:%d for S=%d, k=%d...",
+                dev.platform, dev.id, S, kmer_size)
+
+    # counting kernels
+    from kmdiff_tpu.pipeline.count import BLOCK, count_sample_device
+
+    if kmer_size <= 32:
+        codes = rng.integers(0, 4, min(BLOCK, 1 << 20), dtype=np.uint8)
+        count_sample_device([codes], kmer_size, 4)
+        logger.info("  counting kernels compiled (%s)", timer.formatted())
+
+    # merge + LRT kernels at the pad buckets
+    from kmdiff_tpu.core.model import PoissonLikelihood
+    from kmdiff_tpu.io.accumulator import VectorAccumulator
+    from kmdiff_tpu.pipeline.merge import PartitionProcessor
+
+    nw = (kmer_size + 31) // 32
+    if nw <= 2:
+        model = PoissonLikelihood(
+            nb_controls, nb_cases, [10**6] * nb_controls, [10**6] * nb_cases
+        )
+        for thr, label in ((0.05 / 1e5, "tight"), (0.5, "full")):
+            proc = PartitionProcessor(model, nb_controls, nb_cases, thr,
+                                      keep_counts=pop)
+            for bucket in pad_buckets:
+                n = max(bucket // 2 + 1, 8)
+                per = max(n // S, 2)
+                kmers = [
+                    np.sort(
+                        rng.integers(0, 1 << min(2 * kmer_size - 1, 62),
+                                     per, dtype=np.uint64)
+                    ).astype(np.uint64)[:, None]
+                    for _ in range(S)
+                ]
+                if nw == 2:
+                    kmers = [np.concatenate([k, k], axis=1) for k in kmers]
+                counts = [
+                    rng.integers(1, 16, per, dtype=np.uint32) for _ in range(S)
+                ]
+                proc._device_merge_chunk(0, kmers, counts,
+                                         VectorAccumulator(), kmer_size)
+            logger.info("  merge kernels (%s budgets) compiled (%s)",
+                        label, timer.formatted())
+
+    # popstrat batched IRLS chunk
+    if pop:
+        import jax.numpy as jnp2
+
+        from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
+        from kmdiff_tpu.pipeline.popstrat import PopStratCorrector
+
+        dt = default_dtype()
+        F = 1 + npc + 1 + 1  # intercept + PCs + totals + count ratio
+        y = np.concatenate([np.ones(nb_controls), np.zeros(nb_cases)])
+        for B in (1, PopStratCorrector.BATCH_CHUNK):
+            X = rng.normal(0, 1, (B, S, F)).astype(np.float64)
+            X[:, :, 0] = 1.0
+            W, _e, _i = batched_irls(jnp2.asarray(X, dt), jnp2.asarray(y, dt))
+            jax.block_until_ready(
+                log_likelihood(jnp2.asarray(X, dt), W, jnp2.asarray(y, dt))
+            )
+        logger.info("  popstrat IRLS compiled (%s)", timer.formatted())
+
+    logger.info("Warmup done in %s.", timer.formatted())

@@ -224,3 +224,10 @@ def test_diff_cohort_size_mismatch(fixture_dir, tmp_path):
     with pytest.raises(InputError, match="cohort size mismatch"):
         main_diff(_opts(fixture_dir, tmp_path / "out", nb_controls=2,
                         nb_cases=3))
+
+
+def test_cli_warmup():
+    """warmup compiles the canonical kernels without error (CPU backend)."""
+    from kmdiff_tpu.cli import main
+
+    assert main(["warmup", "-1", "2", "-2", "2", "-k", "21", "--pop"]) == 0
