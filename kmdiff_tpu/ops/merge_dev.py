@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kmdiff_tpu.ops.codec import lanes_to_words  # noqa: F401  (re-export:
+# host lane<->word conversion shared with the counting codec)
 from kmdiff_tpu.ops.lrt import MARGIN_ABS, MARGIN_PER_COUNT, _lr_from_sums
 
 _SAMPLE_SEED = np.uint32(0x51ED2700)
@@ -206,14 +208,5 @@ def build_triples(
     return tuple(lanes), sample, count, N
 
 
-def lanes_to_words(lanes: tuple[np.ndarray, ...]) -> np.ndarray:
-    """Host: u32 lanes -> [n, nw] u64 words (core.kmer layout)."""
-    nw = len(lanes) // 2
-    words = [
-        (lanes[2 * w].astype(np.uint64) << np.uint64(32))
-        | lanes[2 * w + 1].astype(np.uint64)
-        for w in range(nw)
-    ]
-    return np.stack(words, axis=1)
 
 

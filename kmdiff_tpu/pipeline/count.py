@@ -15,9 +15,11 @@ The run dir layout matches kmtricks v1.1.1 (what our diff AND the
 reference's diff consume): counts/partition_*/, histograms/*.hist,
 kmtricks.fof, kmdiff-count.opt.
 
-k <= 32 uses the device fast path; larger k falls back to the host codec
-(kmdiff_tpu.core.kmer) with the same partition hash — correct, slower;
-the multiword device path is the planned upgrade.
+Every supported k (up to 128, the reference's KMER_LIST ceiling —
+CMakeLists.txt:72-74) rides the same fused device path: the k-mer width
+only changes the number of u32 lanes the trace carries
+(ops.codec.extract_canonical_lanes / count_sort_rle_lanes), so extraction,
+sort, and run-length encoding stay a single dispatch with O(distinct) D2H.
 """
 
 from __future__ import annotations
@@ -80,217 +82,102 @@ def _flat_codes(seqs: list[bytes]) -> np.ndarray:
 
 def _device_kmer_blocks(codes: np.ndarray, k: int):
     """Extract canonical k-mers block-wise; results STAY on device as
-    sentinel-masked (hi, lo) lane pairs (O(N) D2H is expensive on
-    tunneled devices — see ops.merge_dev)."""
+    sentinel-masked u32 lane tuples (O(N) D2H is expensive on tunneled
+    devices — see ops.merge_dev). Works for any k <= 128."""
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import INVALID, extract_canonical_kmers
+    from kmdiff_tpu.ops.codec import INVALID, extract_canonical_lanes
 
     out = []
     stride = BLOCK - (k - 1)
     L = len(codes)
+    sent = jnp.uint32(0xFFFFFFFF)
     for s in range(0, max(L - k + 1, 1), stride):
         chunk = codes[s : s + BLOCK]
         if len(chunk) < BLOCK:
+            # pad to a power of two (floor 2^14) instead of the full block:
+            # small inputs compile/execute small shapes, and the shape set
+            # stays bounded (one per power of two) for the jit cache
+            pad_to = min(BLOCK, 1 << max(14, (len(chunk) - 1).bit_length()))
             chunk = np.concatenate(
-                [chunk, np.full(BLOCK - len(chunk), INVALID, dtype=np.uint8)]
+                [chunk, np.full(pad_to - len(chunk), INVALID, dtype=np.uint8)]
             )
-        hi, lo, ok = extract_canonical_kmers(jnp.asarray(chunk), k)
-        sent = jnp.uint32(0xFFFFFFFF)
-        out.append((jnp.where(ok, hi, sent), jnp.where(ok, lo, sent)))
+        lanes, ok = extract_canonical_lanes(jnp.asarray(chunk), k)
+        out.append(tuple(jnp.where(ok, l, sent) for l in lanes))
     return out
 
 
 def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
-    """Device path (k <= 32): canonical k-mers + partition ids, compacted.
+    """Canonical k-mers + partition ids, compacted to host (any k <= 128).
 
-    Returns (kmers [n,1] u64, parts [n] u32) — unsorted, with duplicates.
-    Kept for tests/cross-checks; the counting pipeline uses the fused
-    count_sample_device path.
+    Returns (kmers [n, nw] u64, parts [n] u32) — unsorted, with
+    duplicates. Kept for tests/cross-checks; the counting pipeline uses
+    the fused count_sample_device path.
     """
-    import jax.numpy as jnp
-
-    from kmdiff_tpu.ops.codec import hi_lo_to_u64, partition_ids
+    from kmdiff_tpu.ops.codec import lanes_to_words, partition_ids_lanes
 
     out_k, out_p = [], []
-    for hi, lo in _device_kmer_blocks(codes, k):
-        part = partition_ids(hi, lo, nb_partitions)
-        hih = np.asarray(hi)
-        loh = np.asarray(lo)
-        ok = ~((hih == 0xFFFFFFFF) & (loh == 0xFFFFFFFF))
-        idx = np.nonzero(ok)[0]
+    for lanes in _device_kmer_blocks(codes, k):
+        part = partition_ids_lanes(lanes, nb_partitions)
+        lanes_h = [np.asarray(l) for l in lanes]
+        ok = lanes_h[0] == 0xFFFFFFFF
+        for l in lanes_h[1:]:
+            ok &= l == 0xFFFFFFFF
+        idx = np.nonzero(~ok)[0]
         if len(idx):
-            out_k.append(hi_lo_to_u64(hih[idx], loh[idx]))
+            out_k.append(lanes_to_words(tuple(l[idx] for l in lanes_h)))
             out_p.append(np.asarray(part)[idx])
     if not out_k:
-        return np.zeros((0, 1), np.uint64), np.zeros(0, np.uint32)
+        return np.zeros((0, n_words(k)), np.uint64), np.zeros(0, np.uint32)
     return np.concatenate(out_k), np.concatenate(out_p)
 
 
 def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int):
-    """Fused device counting for k <= 32: extraction, sort, and run-length
-    encoding all on device; only distinct-sized results transfer to host.
+    """Fused device counting (any k <= 128): extraction, sort, and
+    run-length encoding all on device; only distinct-sized results
+    transfer to host.
 
-    Returns (kmers [U, 1] u64 sorted by (part, kmer), parts [U], counts [U]).
+    Returns (kmers [U, nw] u64 sorted by (part, kmer), parts [U],
+    counts [U]).
     """
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import count_sort_rle_kernel, hi_lo_to_u64
+    from kmdiff_tpu.ops.codec import (
+        count_sort_rle_lanes,
+        lanes_to_words,
+        n_lanes,
+    )
 
     blocks = []
     for codes in all_codes:
         blocks.extend(_device_kmer_blocks(codes, k))
     if not blocks:
         return (
-            np.zeros((0, 1), np.uint64),
+            np.zeros((0, n_words(k)), np.uint64),
             np.zeros(0, np.uint32),
             np.zeros(0, np.uint32),
         )
-    his = jnp.concatenate([b[0] for b in blocks])
-    los = jnp.concatenate([b[1] for b in blocks])
-    N = his.shape[0]
+    L = n_lanes(k)
+    lanes = [jnp.concatenate([b[i] for b in blocks]) for i in range(L)]
+    N = lanes[0].shape[0]
     P = 1 << max(12, (N - 1).bit_length())
     if P > N:
         pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
-        his = jnp.concatenate([his, pad])
-        los = jnp.concatenate([los, pad])
+        lanes = [jnp.concatenate([l, pad]) for l in lanes]
 
     # distinct-count cap: start assuming >=4x duplication, retry exact
     max_distinct = min(P, max(1 << 14, P >> 2))
     while True:
-        n_distinct, part_d, hi_d, lo_d, counts = count_sort_rle_kernel(
-            his, los, nb_partitions, max_distinct
+        n_distinct, part_d, lanes_d, counts = count_sort_rle_lanes(
+            tuple(lanes), nb_partitions, max_distinct
         )
         U = int(n_distinct)
         if U <= max_distinct:
             break
         max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
 
-    kmers = hi_lo_to_u64(np.asarray(hi_d)[:U], np.asarray(lo_d)[:U])
+    kmers = lanes_to_words(tuple(np.asarray(l)[:U] for l in lanes_d))
     return kmers, np.asarray(part_d)[:U], np.asarray(counts)[:U]
-
-
-def count_codes_device_multi(codes: np.ndarray, k: int, nb_partitions: int):
-    """Device path for 32 < k <= 64: 4 u32 lanes per k-mer."""
-    import jax.numpy as jnp
-
-    from kmdiff_tpu.ops.codec import (
-        INVALID,
-        extract_canonical_kmers_multi,
-        lanes_to_u64_words,
-        partition_ids4,
-    )
-
-    out_k, out_p = [], []
-    stride = BLOCK - (k - 1)
-    L = len(codes)
-    for s in range(0, max(L - k + 1, 1), stride):
-        chunk = codes[s : s + BLOCK]
-        if len(chunk) < BLOCK:
-            chunk = np.concatenate(
-                [chunk, np.full(BLOCK - len(chunk), INVALID, dtype=np.uint8)]
-            )
-        l0, l1, l2, l3, ok = extract_canonical_kmers_multi(jnp.asarray(chunk), k)
-        part = partition_ids4(l0, l1, l2, l3, nb_partitions)
-        idx = np.nonzero(np.asarray(ok))[0]
-        if len(idx):
-            out_k.append(
-                lanes_to_u64_words(
-                    np.asarray(l0)[idx], np.asarray(l1)[idx],
-                    np.asarray(l2)[idx], np.asarray(l3)[idx],
-                )
-            )
-            out_p.append(np.asarray(part)[idx])
-    if not out_k:
-        return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint32)
-    return np.concatenate(out_k), np.concatenate(out_p)
-
-
-def count_codes_host(codes: np.ndarray, k: int, nb_partitions: int):
-    """Host fallback for k > 64 (wider multi-word k-mers)."""
-    from kmdiff_tpu.core.kmer import canonical_packed, kmers_from_codes
-
-    valid = codes != 0xFF
-    packed = kmers_from_codes(codes, valid, k)
-    canon = canonical_packed(packed, k)
-    return canon, host_partition_ids(canon, nb_partitions)
-
-
-def _sort_and_rle(kmers: np.ndarray, parts: np.ndarray):
-    """Sort by (part, kmer) and run-length encode.
-
-    Single-word path sorts on device (lax.sort over u32 key triples,
-    padded to a power of two so the jit caches a few shapes); multi-word
-    sorts on host.
-    Returns (kmers [U, nw] sorted, parts [U], counts [U]).
-    """
-    N = len(kmers)
-    if N == 0:
-        return kmers, parts, np.zeros(0, np.uint32)
-    nw = kmers.shape[1]
-    if nw == 1:
-        import jax.numpy as jnp
-
-        from kmdiff_tpu.ops.codec import sort_kmers_with_parts, u64_to_hi_lo
-
-        P = 1 << max(10, (N - 1).bit_length())
-        hi, lo = u64_to_hi_lo(kmers)
-        pad = P - N
-        part_in = np.concatenate(
-            [parts, np.full(pad, 0xFFFFFFFF, np.uint32)]
-        )
-        hi_in = np.concatenate([hi, np.zeros(pad, np.uint32)])
-        lo_in = np.concatenate([lo, np.zeros(pad, np.uint32)])
-        part_s, hi_s, lo_s, is_start = sort_kmers_with_parts(
-            jnp.asarray(part_in), jnp.asarray(hi_in), jnp.asarray(lo_in)
-        )
-        part_s = np.asarray(part_s)[:N]
-        from kmdiff_tpu.ops.codec import hi_lo_to_u64
-
-        kmers_s = hi_lo_to_u64(np.asarray(hi_s)[:N], np.asarray(lo_s)[:N])
-        starts = np.nonzero(np.asarray(is_start)[:N])[0]
-    elif nw == 2:
-        import jax.numpy as jnp
-
-        from kmdiff_tpu.ops.codec import lanes_to_u64_words, sort_kmers4_with_parts
-
-        P = 1 << max(10, (N - 1).bit_length())
-        pad = P - N
-        part_in = np.concatenate([parts, np.full(pad, 0xFFFFFFFF, np.uint32)])
-        lanes = []
-        for w in (0, 1):
-            col = kmers[:, w]
-            for shift in (32, 0):
-                lanes.append(
-                    np.concatenate([
-                        ((col >> np.uint64(shift)) & np.uint64(0xFFFFFFFF))
-                        .astype(np.uint32),
-                        np.zeros(pad, np.uint32),
-                    ])
-                )
-        p_s, a, b, c, d, is_start = sort_kmers4_with_parts(
-            jnp.asarray(part_in), *(jnp.asarray(x) for x in lanes)
-        )
-        part_s = np.asarray(p_s)[:N]
-        kmers_s = lanes_to_u64_words(
-            np.asarray(a)[:N], np.asarray(b)[:N],
-            np.asarray(c)[:N], np.asarray(d)[:N],
-        )
-        starts = np.nonzero(np.asarray(is_start)[:N])[0]
-    else:
-        order = np.lexsort(
-            tuple(kmers[:, w] for w in range(nw - 1, -1, -1)) + (parts,)
-        )
-        kmers_s = kmers[order]
-        part_s = parts[order]
-        new = np.empty(N, dtype=bool)
-        new[0] = True
-        np.any(kmers_s[1:] != kmers_s[:-1], axis=1, out=new[1:])
-        new[1:] |= part_s[1:] != part_s[:-1]
-        starts = np.nonzero(new)[0]
-
-    counts = np.diff(np.append(starts, N)).astype(np.uint32)
-    return kmers_s[starts], part_s[starts], counts
 
 
 def count_sample(
@@ -299,32 +186,15 @@ def count_sample(
     """Count one sample's distinct canonical k-mers across its read files.
 
     Returns (kmers sorted by (part, kmer), parts, counts) pre hard-min.
+    Every k rides the fused device path (the reference's k ceiling is 128,
+    src/main.cc:29-50; the CLI enforces the same range).
     """
     from kmdiff_tpu.io.fasta import flat_codes
 
-    if k <= 32:
-        all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
-        return count_sample_device(all_codes, k, nb_partitions)
-
-    all_k, all_p = [], []
-    for path in paths:
-        codes = flat_codes(path)
-        if not len(codes):
-            continue
-        if k <= 64:
-            km, pt = count_codes_device_multi(codes, k, nb_partitions)
-        else:
-            km, pt = count_codes_host(codes, k, nb_partitions)
-        all_k.append(km)
-        all_p.append(pt)
-    if not all_k:
-        nw = n_words(k)
-        return (
-            np.zeros((0, nw), np.uint64),
-            np.zeros(0, np.uint32),
-            np.zeros(0, np.uint32),
-        )
-    return _sort_and_rle(np.concatenate(all_k), np.concatenate(all_p))
+    if k > 128:
+        raise InputError(f"k={k} exceeds the supported maximum of 128")
+    all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
+    return count_sample_device(all_codes, k, nb_partitions)
 
 
 def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:

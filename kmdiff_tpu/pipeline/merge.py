@@ -8,15 +8,15 @@ exact shape TPUs are worst at.
 
 Re-design (TPU-first). Two paths share the exact-f64 rescore contract:
 
-* DEVICE path (default, Poisson model, k <= 64): raw per-sample
+* DEVICE path (default, Poisson model, any k <= 128): raw per-sample
   (kmer, sample, count) triples ship to HBM once; ops.merge_dev sorts,
   segment-reduces, LR-filters and compacts survivors on device — only
   survivor-sized outputs return. Oversized partitions stream through in
   key-range chunks (each chunk is segment-complete because sample streams
   are sorted).
-* HOST path (custom models, --save-sk, matrix streaming, k > 64): a
-  vectorized sort-unique-scatter builds the dense [U, S] matrix and the
-  blocked ops.lrt filter (Pallas on TPU backends) scans it.
+* HOST path (custom models, matrix streaming): a vectorized
+  sort-unique-scatter builds the dense [U, S] matrix and the blocked
+  ops.lrt filter (Pallas on TPU backends) scans it.
 
 Either way the small survivor set is re-scored in exact f64
 (kmdiff_tpu.core.model), reproducing kmdiff's p-values bit-for-bit.
@@ -138,7 +138,8 @@ class PartitionProcessor:
     # -- block scoring -------------------------------------------------------
 
     def _score_block(self, kmers: np.ndarray, counts: np.ndarray):
-        """Score [B, S] rows; returns survivor KmerSignBlock + sign tallies."""
+        """Score [B, S] rows; returns (survivor KmerSignBlock, survivor row
+        indices, sign tallies)."""
         B = counts.shape[0]
         if self._fast:
             # device bulk filter in fixed tiles; host exact rescore of hits.
@@ -184,7 +185,21 @@ class PartitionProcessor:
             counts[idx].astype(np.float64) if self.keep_counts else None,
         )
         n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
-        return block, n_ctrl, len(block) - n_ctrl
+        return block, idx, n_ctrl, len(block) - n_ctrl
+
+    def _write_matrix(self, partition, kmers, counts, kmer_size):
+        """--save-sk: dump the SURVIVOR rows' count matrix (the reference
+        writes only k-mers passing the merge threshold,
+        merge.hpp:83-87)."""
+        from kmdiff_tpu.io.kmtricks import write_matrix_file
+
+        write_matrix_file(
+            f"{self.save_matrix_path}/matrix_{partition}.count.lz4",
+            kmers,
+            counts.astype(np.uint32),
+            kmer_size,
+            partition,
+        )
 
     # -- partition entry points ----------------------------------------------
 
@@ -198,17 +213,9 @@ class PartitionProcessor:
     ) -> PartitionResult:
         if self.sampler is not None:
             self.sampler.sample_block(partition, kmers, counts, self.nb_controls)
+        block, idx, n_ctrl, n_case = self._score_block(kmers, counts)
         if self.save_matrix_path is not None and kmer_size:
-            from kmdiff_tpu.io.kmtricks import write_matrix_file
-
-            write_matrix_file(
-                f"{self.save_matrix_path}/matrix_{partition}.count.lz4",
-                kmers,
-                counts,
-                kmer_size,
-                partition,
-            )
-        block, n_ctrl, n_case = self._score_block(kmers, counts)
+            self._write_matrix(partition, kmers[idx], counts[idx], kmer_size)
         acc.push_block(block)
         acc.finish()
         return PartitionResult(partition, len(counts), len(block), n_ctrl, n_case)
@@ -222,7 +229,7 @@ class PartitionProcessor:
             ksize = info.kmer_size
             kmers_list.append(kmers)
             counts_list.append(counts)
-        if self._fast and ksize <= 64 and self.save_matrix_path is None:
+        if self._fast and ksize <= 128:
             return self._process_device_merge(
                 partition, kmers_list, counts_list, acc, ksize
             )
@@ -270,6 +277,7 @@ class PartitionProcessor:
             if self.sampler is not None
             else None
         )
+        matrix_sink = [] if self.save_matrix_path is not None else None
         for c in range(len(bounds) + 1):
             lo_b = bounds[c - 1] if c > 0 else None
             hi_b = bounds[c] if c < len(bounds) else None
@@ -282,7 +290,7 @@ class PartitionProcessor:
             results.append(
                 self._device_merge_chunk(
                     partition, sub_k, sub_c, acc, ksize, finish=False,
-                    sampler_override=shim,
+                    sampler_override=shim, matrix_sink=matrix_sink,
                 )
             )
         if self.sampler is not None:
@@ -292,6 +300,22 @@ class PartitionProcessor:
                 else np.zeros((0, len(kmers_list)), np.uint8)
             )
             self.sampler.add_sampled(partition, rows)
+        if matrix_sink is not None:
+            from kmdiff_tpu.core.kmer import n_words
+
+            S = len(kmers_list)
+            nw = n_words(ksize)
+            km = (
+                np.concatenate([m[0] for m in matrix_sink])
+                if matrix_sink
+                else np.zeros((0, nw), np.uint64)
+            )
+            ct = (
+                np.concatenate([m[1] for m in matrix_sink])
+                if matrix_sink
+                else np.zeros((0, S), np.int32)
+            )
+            self._write_matrix(partition, km, ct, ksize)
         acc.finish()
         return PartitionResult(
             partition,
@@ -303,7 +327,7 @@ class PartitionProcessor:
 
     def _device_merge_chunk(
         self, partition, kmers_list, counts_list, acc, ksize, finish=True,
-        sampler_override=None,
+        sampler_override=None, matrix_sink=None,
     ) -> PartitionResult:
         import jax.numpy as jnp
 
@@ -320,6 +344,8 @@ class PartitionProcessor:
 
         sampler = sampler_override if sampler_override is not None else self.sampler
         want_geno = sampler is not None
+        save_matrix = self.save_matrix_path is not None
+        want_rows = self.keep_counts or save_matrix
         # compaction capacity: nonzero(size=s) cost grows superlinearly in
         # s on TPU, so start tight (real runs keep ~1e-6 of rows at
         # alpha/cutoff) and retry at the EXACT needed pow2 on overflow
@@ -348,7 +374,7 @@ class PartitionProcessor:
                 max_geno,
                 want_geno,
                 nb_samples=S,
-                want_rows=self.keep_counts,
+                want_rows=want_rows,
             )
             n_hits = int(out["n_hits"])
             n_geno = int(out["n_geno"]) if want_geno else 0
@@ -369,10 +395,15 @@ class PartitionProcessor:
         p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
 
         counts_rows = None
-        if self.keep_counts:
-            counts_rows = (
-                np.asarray(out["hit_rows"])[:n_hits][final].astype(np.float64)
-            )
+        if want_rows:
+            rows_i32 = np.asarray(out["hit_rows"])[:n_hits][final]
+            if self.keep_counts:
+                counts_rows = rows_i32.astype(np.float64)
+            if save_matrix:
+                if matrix_sink is not None:
+                    matrix_sink.append((kmers_u64, rows_i32))
+                else:
+                    self._write_matrix(partition, kmers_u64, rows_i32, ksize)
         if want_geno:
             sampler.add_sampled(
                 partition, np.asarray(out["geno_rows"])[:n_geno]

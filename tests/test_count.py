@@ -184,19 +184,48 @@ def test_count_hard_min(tmp_path):
     assert h.unique == 2
 
 
-def test_device_codec_multiword_matches_host():
-    from kmdiff_tpu.pipeline.count import count_codes_device_multi
-
+@pytest.mark.parametrize("k", [33, 40, 48, 63, 64, 65, 80, 96, 97, 127, 128])
+def test_device_codec_multiword_matches_host(k):
+    """Generic lane machinery covers the reference's full KMER_LIST range
+    (Kmer<32/64/96/128>, /root/reference/src/main.cc:29-50) on device."""
     rng = np.random.default_rng(7)
     seq = _rand_seq(rng, 400)
-    for k in (33, 40, 48, 63, 64):
-        codes, valid = seq_to_codes(seq)
-        host = canonical_packed(kmers_from_codes(codes, valid, k), k)
-        km, parts = count_codes_device_multi(_flat_codes([seq.encode()]), k, 4)
-        assert np.array_equal(km, host), f"k={k}"
-        assert np.array_equal(
-            host_partition_ids(km, 4), parts
-        ), f"k={k} partition hash"
+    codes, valid = seq_to_codes(seq)
+    host = canonical_packed(kmers_from_codes(codes, valid, k), k)
+    km, parts = count_codes_device(_flat_codes([seq.encode()]), k, 4)
+    assert np.array_equal(km, host), f"k={k}"
+    assert np.array_equal(
+        host_partition_ids(km, 4), parts
+    ), f"k={k} partition hash"
+
+
+@pytest.mark.parametrize("k", [40, 96, 127])
+def test_count_sample_device_multiword(k):
+    """Fused device counting (sort+RLE, O(distinct) D2H) for multi-word k:
+    multiset parity with the host codec."""
+    rng = np.random.default_rng(17)
+    # duplicated reads force real counts > 1 across the sample
+    reads = [_rand_seq(rng, 200) for _ in range(6)] * 2
+    from kmdiff_tpu.pipeline.count import count_sample_device
+
+    kmers, parts, counts = count_sample_device(
+        [_flat_codes([s.encode() for s in reads])], k, 4
+    )
+    # host reference multiset
+    host_all = []
+    for s in reads:
+        codes, valid = seq_to_codes(s)
+        host_all.append(canonical_packed(kmers_from_codes(codes, valid, k), k))
+    host_all = np.concatenate(host_all)
+    uniq, host_counts = np.unique(host_all, axis=0, return_counts=True)
+    assert len(kmers) == len(uniq)
+    # compare as sorted (kmer -> count) maps
+    got = {tuple(r): int(c) for r, c in zip(kmers.tolist(), counts.tolist())}
+    want = {tuple(r): int(c) for r, c in zip(uniq.tolist(), host_counts.tolist())}
+    assert got == want
+    assert np.array_equal(host_partition_ids(kmers, 4), parts)
+    # sorted by (partition, kmer) within the output
+    assert np.all(np.diff(parts.astype(np.int64)) >= 0)
 
 
 def test_count_then_diff_k64(tmp_path):
@@ -235,8 +264,8 @@ def test_count_then_diff_k64(tmp_path):
     assert len(fa) == res["case"]
 
 
-def test_count_k96_host_path(tmp_path):
-    """k > 64 rides the host multiword codec (3 u64 words)."""
+def test_count_k96_run_dir(tmp_path):
+    """k > 64 through the full run_count path (3 u64 words on device)."""
     rng = np.random.default_rng(9)
     bases = np.array(list("ACGT"))
     fa = tmp_path / "s.fasta"

@@ -152,16 +152,51 @@ def test_diff_kff_output(fixture_dir, tmp_path):
 
 
 def test_diff_save_sk(fixture_dir, tmp_path):
+    """--save-sk dumps the SURVIVOR k-mer count matrix — only rows with
+    p <= threshold, like the reference's MatrixWriter call inside the
+    observer's significance branch (merge.hpp:78-87) — via the device
+    merge path."""
     from kmdiff_tpu.io.kmtricks import read_matrix_file
 
-    main_diff(_opts(fixture_dir, tmp_path / "out", save_sk=True))
+    res = main_diff(_opts(
+        fixture_dir, tmp_path / "out", save_sk=True,
+        threshold=0.5, cutoff=1.0, correction=CorrectionType.NOTHING,
+    ))
     mdir = tmp_path / "out" / "positive_kmer_matrix" / "matrices"
     files = sorted(os.listdir(mdir))
     assert files == [f"matrix_{i}.count.lz4" for i in range(4)]
-    info, kmers, counts = read_matrix_file(str(mdir / files[0]))
-    assert info.kmer_size == 20
-    assert counts.shape[1] == 2
-    assert len(kmers) > 0
+    n_rows = 0
+    kmer_set = set()
+    for i, fname in enumerate(files):
+        info, kmers, counts = read_matrix_file(str(mdir / fname))
+        assert info.kmer_size == 20
+        assert counts.shape[1] == 2
+        n_rows += len(kmers)
+        kmer_set.update(int(k) for k in kmers[:, 0])
+    # matrix rows == the merge-stage survivors == final output here
+    # (correction NOTHING keeps every pre-filter hit)
+    assert n_rows == res["control"] + res["case"] > 0
+    # and the k-mer set matches the FASTA outputs exactly
+    from kmdiff_tpu.core.kmer import string_to_packed
+
+    out_kmers = set()
+    for f in ("control_kmers.fasta", "case_kmers.fasta"):
+        for _name, seq in read_fasta(tmp_path / "out" / f):
+            out_kmers.add(int(string_to_packed(seq)[0]))
+    assert kmer_set == out_kmers
+
+
+def test_diff_save_sk_zero_survivors(fixture_dir, tmp_path):
+    """Default strict threshold: matrices exist but hold zero rows."""
+    from kmdiff_tpu.io.kmtricks import read_matrix_file
+
+    res = main_diff(_opts(fixture_dir, tmp_path / "out", save_sk=True))
+    assert res["control"] == 0 and res["case"] == 0
+    mdir = tmp_path / "out" / "positive_kmer_matrix" / "matrices"
+    for i in range(4):
+        _info, kmers, _counts = read_matrix_file(
+            str(mdir / f"matrix_{i}.count.lz4"))
+        assert len(kmers) == 0
 
 
 def test_diff_from_matrix_files(fixture_dir, tmp_path):
