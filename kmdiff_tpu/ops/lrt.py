@@ -101,6 +101,10 @@ class LrtParams:
         self.ratio_k = np.float32(self.sum_cases / tsum)
         self.p_threshold = p_threshold
         self.lr_min = lr_threshold_for_pvalue(p_threshold)
+        # a k-mer's group sum is bounded by the cohort's total k-mer mass;
+        # below 2^31 the int32 device sum path is exact, above it the
+        # kernels switch to the 16-bit-split wide path (ops.merge_dev)
+        self.wide_sums = tsum >= 2**31
 
 
 @functools.partial(jax.jit, static_argnames=("nb_controls",))

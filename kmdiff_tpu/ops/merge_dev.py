@@ -48,7 +48,7 @@ def _avalanche(h):
     jax.jit,
     static_argnames=(
         "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
-        "want_rows",
+        "want_rows", "wide_sums",
     ),
 )
 def merge_lrt_kernel(
@@ -61,20 +61,30 @@ def merge_lrt_kernel(
     want_geno: bool,
     nb_samples: int = 0,
     want_rows: bool = False,
+    wide_sums: bool = False,
 ):
     """One partition's merged test, fully on device.
 
-    lanes: tuple of [N] u32 k-mer lanes, most-significant first (2 lanes
-    for k <= 32, 4 for k <= 64; padding rows = all-0xFFFFFFFF)
-    sample: [N] i32, count: [N] i32 (padding: sample 0, count 0)
+    lanes: tuple of [N] u32 k-mer lanes, most-significant first (2 per
+    uint64 word, up to 8 for k <= 128; padding rows = all-0xFFFFFFFF)
+    sample: [N] i32, count: [N] i32 (padding: sample 0, count 0; counts
+    are uint32 bit patterns viewed as i32)
 
     Returns dict with:
       n_distinct, n_hits, n_geno          scalars (i32)
       hit_lanes tuple of [max_hits] u32   survivor k-mers (slot-compacted)
-      hit_sc, hit_sk [max_hits] i32       survivor group sums
+      hit_sc, hit_sk [max_hits] i32       survivor group sums (narrow)
+      hit_sc_hi/lo, hit_sk_hi/lo          16-bit-split group sums (wide)
       hit_rows [max_hits, S] i32          survivor per-sample count rows
-                                          (want_rows; popstrat path)
+                                          (want_rows; popstrat / save-sk)
       geno_rows [max_geno, S] u8          sampled presence rows (want_geno)
+
+    wide_sums: set when the cohort's total k-mer mass reaches 2^31, where
+    a group sum can overflow int32. TPUs have no native int64, so the
+    wide path cumsums the 16-bit halves of each count separately — exact
+    because a segment holds at most one entry per sample, bounding each
+    half-sum by S * 0xFFFF — and the host recombines hi*2^16 + lo into
+    int64 (reference equivalent: the uint64 sums of model.hpp:145-146).
 
     Every output is survivor-sized: nothing O(N) leaves the device (the
     remote-tunnel D2H path runs at ~200 MB/s and would dominate the
@@ -107,8 +117,6 @@ def merge_lrt_kernel(
     # scans + gathers only, no scatters (TPU scatters serialize).
     idx = jnp.arange(N, dtype=jnp.int32)
     is_ctrl = sample_s < nb_controls
-    cc_ctrl = jnp.cumsum(jnp.where(is_ctrl & valid, count_s, 0))
-    cc_case = jnp.cumsum(jnp.where(~is_ctrl & valid, count_s, 0))
 
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, -1))  # run start row
     nxt = jnp.where(is_start, idx, N)
@@ -116,13 +124,32 @@ def merge_lrt_kernel(
     seg_end = jax.lax.cummin(nxt_shift, reverse=True) - 1  # run end row
     ss = jnp.clip(seg_start, 0, N - 1)
     se = jnp.clip(seg_end, 0, N - 1)
-    x_c = jnp.where(is_ctrl & valid, count_s, 0)
-    s_c = cc_ctrl[se] - cc_ctrl[ss] + x_c[ss]
-    x_k = jnp.where(~is_ctrl & valid, count_s, 0)
-    s_k = cc_case[se] - cc_case[ss] + x_k[ss]
 
-    lr = _lr_from_sums(s_c, s_k, ratio_c, ratio_k)
-    tot = (s_c + s_k).astype(jnp.float32)
+    def seg_sum(vals):
+        """Per-segment sum of pre-masked vals, evaluated at every row of
+        the segment (valid at run starts)."""
+        cs = jnp.cumsum(vals)
+        return cs[se] - cs[ss] + vals[ss]
+
+    if wide_sums:
+        cu = count_s.astype(jnp.uint32)
+        c_hi = (cu >> 16).astype(jnp.int32)
+        c_lo = (cu & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        s_c_hi = seg_sum(jnp.where(is_ctrl & valid, c_hi, 0))
+        s_c_lo = seg_sum(jnp.where(is_ctrl & valid, c_lo, 0))
+        s_k_hi = seg_sum(jnp.where(~is_ctrl & valid, c_hi, 0))
+        s_k_lo = seg_sum(jnp.where(~is_ctrl & valid, c_lo, 0))
+        # f32 recombination only feeds the margin-backed LR filter; the
+        # exact int64 sums are recombined on host from the split halves
+        f_c = s_c_hi.astype(jnp.float32) * 65536.0 + s_c_lo.astype(jnp.float32)
+        f_k = s_k_hi.astype(jnp.float32) * 65536.0 + s_k_lo.astype(jnp.float32)
+    else:
+        s_c = seg_sum(jnp.where(is_ctrl & valid, count_s, 0))
+        s_k = seg_sum(jnp.where(~is_ctrl & valid, count_s, 0))
+        f_c, f_k = s_c, s_k
+
+    lr = _lr_from_sums(f_c, f_k, ratio_c, ratio_k)
+    tot = f_c.astype(jnp.float32) + f_k.astype(jnp.float32)
     keep = is_start & (lr + MARGIN_PER_COUNT * tot + MARGIN_ABS >= lr_min)
 
     n_hits = jnp.sum(keep, dtype=jnp.int32)
@@ -131,10 +158,16 @@ def merge_lrt_kernel(
         "n_distinct": n_distinct,
         "n_hits": n_hits,
         "hit_lanes": tuple(l[hit_start] for l in lanes_s),
-        "hit_sc": s_c[hit_start],
-        "hit_sk": s_k[hit_start],
         "n_geno": jnp.int32(0),
     }
+    if wide_sums:
+        out["hit_sc_hi"] = s_c_hi[hit_start]
+        out["hit_sc_lo"] = s_c_lo[hit_start]
+        out["hit_sk_hi"] = s_k_hi[hit_start]
+        out["hit_sk_lo"] = s_k_lo[hit_start]
+    else:
+        out["hit_sc"] = s_c[hit_start]
+        out["hit_sk"] = s_k[hit_start]
 
     def dense_rows(start_rows, n_slots):
         """Per-sample count rows for segments beginning at start_rows.

@@ -141,7 +141,17 @@ class PartitionProcessor:
         """Score [B, S] rows; returns (survivor KmerSignBlock, survivor row
         indices, sign tallies)."""
         B = counts.shape[0]
-        if self._fast:
+        if self._fast and self.params.wide_sums:
+            # cohorts whose total mass reaches 2^31 can overflow the int32
+            # device sums; this (rare, host-merge-only) path computes exact
+            # int64 sums and f64 p-values directly in numpy
+            s_c = counts[:, : self.nb_controls].sum(axis=1, dtype=np.int64)
+            s_k = counts[:, self.nb_controls :].sum(axis=1, dtype=np.int64)
+            p, sg, mc, mk = self.model.process_sums(s_c, s_k)
+            final = p <= self.threshold
+            idx = np.nonzero(final)[0]
+            p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+        elif self._fast:
             # device bulk filter in fixed tiles; host exact rescore of hits.
             # counts are uint32 but far below 2^31 (count_bytes <= 4,
             # per-sample sums bounded by total coverage), so an int32 view
@@ -359,6 +369,7 @@ class PartitionProcessor:
         )
 
         S = len(kmers_list)
+        wide = self.params.wide_sums
         while True:
             out = merge_lrt_kernel(
                 tuple(jnp.asarray(l) for l in lanes),
@@ -375,6 +386,7 @@ class PartitionProcessor:
                 want_geno,
                 nb_samples=S,
                 want_rows=want_rows,
+                wide_sums=wide,
             )
             n_hits = int(out["n_hits"])
             n_geno = int(out["n_geno"]) if want_geno else 0
@@ -385,8 +397,19 @@ class PartitionProcessor:
                 max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
 
         n_distinct = int(out["n_distinct"])
-        s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)
-        s_k = np.asarray(out["hit_sk"])[:n_hits].astype(np.int64)
+        if wide:
+            # recombine the 16-bit-split device sums into exact int64
+            s_c = (
+                np.asarray(out["hit_sc_hi"])[:n_hits].astype(np.int64) * 65536
+                + np.asarray(out["hit_sc_lo"])[:n_hits]
+            )
+            s_k = (
+                np.asarray(out["hit_sk_hi"])[:n_hits].astype(np.int64) * 65536
+                + np.asarray(out["hit_sk_lo"])[:n_hits]
+            )
+        else:
+            s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)
+            s_k = np.asarray(out["hit_sk"])[:n_hits].astype(np.int64)
         hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
 
         p, sg, mc, mk = self.model.process_sums(s_c, s_k)
@@ -396,9 +419,11 @@ class PartitionProcessor:
 
         counts_rows = None
         if want_rows:
+            # rows carry uint32 bit patterns in i32 slots; view back before
+            # widening so counts >= 2^31 stay positive
             rows_i32 = np.asarray(out["hit_rows"])[:n_hits][final]
             if self.keep_counts:
-                counts_rows = rows_i32.astype(np.float64)
+                counts_rows = rows_i32.view(np.uint32).astype(np.float64)
             if save_matrix:
                 if matrix_sink is not None:
                     matrix_sink.append((kmers_u64, rows_i32))

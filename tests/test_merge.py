@@ -281,3 +281,70 @@ def test_device_merge_k40_matches_host_path(tmp_path):
     assert np.array_equal(blk.kmers, kmers[keep])
     np.testing.assert_array_equal(blk.pvalues, pv[keep])
     np.testing.assert_array_equal(blk.signs, sg[keep])
+
+
+def test_wide_sums_counts_near_u32_max(tmp_path):
+    """Cohort totals >= 2^31 switch the device merge to the 16-bit-split
+    wide sum path; sums, means, and p-values must be exact at counts
+    beyond int32 range (VERDICT item 7: int32 group sums capped cohort
+    scale)."""
+    from kmdiff_tpu.io.kmtricks import write_kmer_file
+
+    k = 20
+    # 2 controls + 2 cases; each sample holds the same 3 k-mers with
+    # counts big enough that group sums exceed 2^31
+    kmers = np.array([[5], [9], [123456]], dtype=np.uint64)
+    per_sample = [
+        np.array([2_000_000_000, 1_500_000_000, 7], dtype=np.uint32),
+        np.array([1_900_000_000, 1_600_000_000, 5], dtype=np.uint32),
+        np.array([400_000_000, 3_100_000_000, 6], dtype=np.uint32),
+        np.array([300_000_000, 3_000_000_000, 8], dtype=np.uint32),
+    ]
+    paths = []
+    for i, cts in enumerate(per_sample):
+        path = str(tmp_path / f"s{i}.kmer.lz4")
+        write_kmer_file(path, kmers, cts, k, sample_idx=i, partition=0,
+                        count_bytes=4)
+        paths.append(path)
+
+    tot_c = [int(per_sample[0].sum()), int(per_sample[1].sum())]
+    tot_k = [int(per_sample[2].sum()), int(per_sample[3].sum())]
+    model = PoissonLikelihood(2, 2, tot_c, tot_k)
+    proc = PartitionProcessor(model, 2, 2, threshold=1.0, keep_counts=True)
+    assert proc.params.wide_sums
+
+    acc = VectorAccumulator()
+    res = proc.process_files(0, paths, acc)
+    assert res.total_kmers == 3
+    assert res.nb_sign == 3
+    blk = KmerSignBlock.concat(list(acc.blocks()))
+
+    # exact expectation from int64 host arithmetic
+    s_c = per_sample[0].astype(np.int64) + per_sample[1].astype(np.int64)
+    s_k = per_sample[2].astype(np.int64) + per_sample[3].astype(np.int64)
+    pv, sg, mc, mk = model.process_sums(s_c, s_k)
+    order = np.argsort(blk.kmers[:, 0])
+    np.testing.assert_array_equal(blk.kmers[order], kmers)
+    np.testing.assert_array_equal(blk.pvalues[order], pv)
+    np.testing.assert_array_equal(blk.signs[order], sg)
+    np.testing.assert_array_equal(blk.mean_control[order], mc)
+    np.testing.assert_array_equal(blk.mean_case[order], mk)
+    # survivor count rows round-trip as exact uint32 magnitudes
+    np.testing.assert_array_equal(
+        blk.counts_ratio[order],
+        np.stack(per_sample, axis=1).astype(np.float64),
+    )
+
+    # the host-merge path (process_arrays) agrees
+    from kmdiff_tpu.pipeline.merge import merge_sorted_streams
+
+    km2, counts2 = merge_sorted_streams(
+        [kmers] * 4, [c for c in per_sample]
+    )
+    acc2 = VectorAccumulator()
+    proc2 = PartitionProcessor(model, 2, 2, threshold=1.0)
+    proc2.process_arrays(0, km2, counts2, acc2, kmer_size=k)
+    blk2 = KmerSignBlock.concat(list(acc2.blocks()))
+    order2 = np.argsort(blk2.kmers[:, 0])
+    np.testing.assert_array_equal(blk2.pvalues[order2], pv)
+    np.testing.assert_array_equal(blk2.signs[order2], sg)
