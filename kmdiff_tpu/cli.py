@@ -33,6 +33,11 @@ def _range_checker(lo, hi, kind=float):
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-t", "--threads", type=int, default=4, help="number of threads.")
     p.add_argument(
+        "--devices", type=int, default=0,
+        help="accelerator devices for the mesh runtime "
+             "(0 = all available, 1 = single device).",
+    )
+    p.add_argument(
         "-v",
         "--verbose",
         default="info",
@@ -281,6 +286,7 @@ def _dispatch(args) -> int:
             minimizer_size=args.minimizer_size,
             nb_partitions=args.nb_partitions,
             nb_threads=args.threads,
+            n_devices=args.devices,
         )
         main_count(opt, recurrence_min=args.recurrence_min)
         return 0
@@ -331,6 +337,7 @@ def _dispatch(args) -> int:
             nb_threads=args.threads,
             model_lib_path=args.model_lib_path,
             model_config=args.model_config,
+            n_devices=args.devices,
         )
         main_diff(opt)
         return 0

@@ -17,8 +17,10 @@ from kmdiff_tpu.utils.timer import Timer
 
 
 def main_count(opt: CountOptions, recurrence_min: int = 1) -> None:
+    from kmdiff_tpu.parallel import runtime
     from kmdiff_tpu.pipeline.count import run_count
 
+    runtime.configure(opt.n_devices)
     timer = Timer()
     run_count(opt, recurrence_min=recurrence_min)
     # consumed later by read_config (reference: src/cmd.cpp:46-47)

@@ -146,6 +146,9 @@ def main_diff(opt: DiffOptions) -> dict:
     from kmdiff_tpu.io.kmtricks import read_fof
     from kmdiff_tpu.utils.exceptions import InputError
 
+    from kmdiff_tpu.parallel import runtime
+
+    runtime.configure(opt.n_devices)
     whole = Timer()
     config = read_config(opt.kmtricks_dir)
 

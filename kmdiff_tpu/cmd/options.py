@@ -34,6 +34,10 @@ class CountOptions:
     repartition_type: int = 0
     nb_partitions: int = 4
     nb_threads: int = 4
+    #: device budget for the mesh runtime: 0 = all local devices, 1 =
+    #: single-device (parallel.runtime; no reference equivalent — the
+    #: reference is single-node threads only, SURVEY.md §2.3)
+    n_devices: int = 0
 
 
 @dataclasses.dataclass
@@ -67,6 +71,8 @@ class DiffOptions:
     nb_threads: int = 4
     model_lib_path: str = ""
     model_config: str = ""
+    #: device budget for the mesh runtime (see CountOptions.n_devices)
+    n_devices: int = 0
 
 
 _MANIFEST_FIELDS = (

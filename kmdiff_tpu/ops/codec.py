@@ -208,14 +208,21 @@ def count_sort_rle_lanes(lanes, nb_partitions: int, max_distinct: int):
     Returns (n_distinct i32, part_d, lanes_d tuple, counts [max_distinct]);
     host slices by n_distinct (retry with a larger cap on overflow).
     """
-    N = lanes[0].shape[0]
-    L = len(lanes)
     is_sent = _lane_sentinel_mask(lanes)
     part = jnp.where(
         is_sent,
         jnp.uint32(0xFFFFFFFF),
         partition_ids_lanes(lanes, nb_partitions),
     )
+    return sort_rle_core(part, lanes, max_distinct)
+
+
+def sort_rle_core(part, lanes, max_distinct: int):
+    """Sort by (partition, lanes), run-length encode, compact — the shared
+    body of the single-device kernel and the sharded per-device count
+    (parallel.count_step). part = 0xFFFFFFFF marks padding rows."""
+    N = lanes[0].shape[0]
+    L = len(lanes)
     sorted_all = jax.lax.sort((part, *lanes), num_keys=1 + L)
     part_s, lanes_s = sorted_all[0], sorted_all[1:]
     valid = part_s != jnp.uint32(0xFFFFFFFF)

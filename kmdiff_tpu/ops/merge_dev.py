@@ -44,14 +44,7 @@ def _avalanche(h):
     return h
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
-        "want_rows", "wide_sums",
-    ),
-)
-def merge_lrt_kernel(
+def merge_lrt_local(
     lanes, sample, count,
     nb_controls: int,
     ratio_c, ratio_k, lr_min,
@@ -203,6 +196,17 @@ def merge_lrt_kernel(
             jnp.uint8
         )
     return out
+
+
+#: the single-device jitted entry; parallel.merge_step shard_maps the same
+#: merge_lrt_local body over the mesh (one key range per device)
+merge_lrt_kernel = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
+        "want_rows", "wide_sums",
+    ),
+)(merge_lrt_local)
 
 
 def pca_threshold_u32(rate: float) -> np.uint32:

@@ -21,6 +21,8 @@ keeps buckets balanced).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,3 +108,94 @@ def make_sharded_count_regroup(mesh, nb_partitions: int, bucket_cap: int):
 def shard_triples(mesh, *arrays: np.ndarray):
     spec = NamedSharding(mesh, P(ROW_AXIS))
     return tuple(jax.device_put(a, spec) for a in arrays)
+
+
+@functools.lru_cache(maxsize=64)
+def make_sharded_count_kernel(
+    mesh, k: int, nb_partitions: int, bucket_cap: int, max_distinct: int
+):
+    """Fully fused multi-device counting: every device extracts canonical
+    k-mers from its code chunk, buckets them by owner device
+    (partition % D), all_to_all rides the ICI torus, and each device
+    sorts + run-length-encodes the partitions it owns — ONE dispatch per
+    sample, O(distinct) outputs per device (the mesh version of
+    ops.codec.count_sort_rle_lanes; reference equivalent: kmtricks'
+    per-partition counting, SURVEY.md §2.2 row 1).
+
+    step(codes [D*cap_codes] u8 row-sharded; chunks carry k-1 overlap so
+    no window is lost at chunk joins, INVALID-padded)
+    -> (n_distinct [D] i32, n_dropped [1] i32 psum'd,
+        part_d [D*max_distinct] u32, lanes tuple [D*max_distinct] u32,
+        counts [D*max_distinct] u32) — all row-sharded except n_dropped.
+    """
+    from kmdiff_tpu.ops.codec import (
+        extract_canonical_lanes,
+        n_lanes,
+        partition_ids_lanes,
+        sort_rle_core,
+    )
+
+    D = mesh.devices.size
+    L = n_lanes(k)
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    def _local(codes):
+        lanes, ok = extract_canonical_lanes(codes, k)
+        lanes = tuple(jnp.where(ok, l, SENT) for l in lanes)
+        W = lanes[0].shape[0]
+
+        part = partition_ids_lanes(lanes, nb_partitions)
+        target = jnp.where(ok, (part % jnp.uint32(D)).astype(jnp.int32), D)
+
+        # pack each destination's rows contiguously, then scatter into
+        # fixed [D, bucket_cap] send lanes
+        sorted_all = jax.lax.sort((target, *lanes), num_keys=1, is_stable=True)
+        t_s, lanes_s = sorted_all[0], sorted_all[1:]
+        idx = jnp.arange(W, dtype=jnp.int32)
+        bucket_first = jnp.where(
+            jnp.concatenate([jnp.ones(1, bool), t_s[1:] != t_s[:-1]]), idx, -1
+        )
+        within = idx - jax.lax.cummax(bucket_first)
+        keep = (within < bucket_cap) & (t_s < D)
+        n_dropped = jnp.sum((~keep) & (t_s < D), dtype=jnp.int32)
+        slot = jnp.where(keep, t_s * bucket_cap + within, D * bucket_cap)
+
+        recv = []
+        for l in lanes_s:
+            buk = jnp.full(D * bucket_cap + 1, SENT, jnp.uint32)
+            buk = buk.at[slot].set(l)[:-1].reshape(D, bucket_cap)
+            r = jax.lax.all_to_all(buk, ROW_AXIS, 0, 0, tiled=True)
+            recv.append(r.ravel())
+        recv = tuple(recv)
+
+        is_sent = recv[0] == SENT
+        for l in recv[1:]:
+            is_sent = is_sent & (l == SENT)
+        part_r = jnp.where(
+            is_sent, SENT, partition_ids_lanes(recv, nb_partitions)
+        )
+        n_distinct, part_d, lanes_d, counts = sort_rle_core(
+            part_r, recv, max_distinct
+        )
+        n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
+        return (
+            n_distinct.reshape(1),
+            n_dropped.reshape(1),
+            part_d,
+            lanes_d,
+            counts,
+        )
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS),),
+        out_specs=(
+            P(ROW_AXIS),
+            P(),
+            P(ROW_AXIS),
+            (P(ROW_AXIS),) * L,
+            P(ROW_AXIS),
+        ),
+    )
+    return jax.jit(sharded)

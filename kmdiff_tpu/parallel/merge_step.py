@@ -1,0 +1,124 @@
+"""Mesh-sharded partition merge + LRT: the product pipeline's multi-chip
+hot path.
+
+The reference's scaling model is partition parallelism over a thread pool
+(reference: include/kmdiff/merge.hpp:237-317). Its TPU translation: each
+partition's (kmer, sample, count) triples split at k-mer KEY RANGES — free
+on host because every per-sample stream is sorted — and each device runs
+the full merge kernel (sort / segment-reduce / LR-filter / compact,
+ops.merge_dev.merge_lrt_local) on its own range. Ranges are independent
+(a segment never spans two ranges), so the only collective is the psum of
+the global counters over ICI; every O(range) intermediate stays on its
+device and only survivor-sized outputs leave.
+
+The step is built once per (mesh, shape/static config) and cached, so the
+shard_map traces/compiles once and is reused by every partition and chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kmdiff_tpu.ops.merge_dev import merge_lrt_local
+from kmdiff_tpu.parallel.mesh import ROW_AXIS
+
+
+@functools.lru_cache(maxsize=64)
+def make_sharded_merge_step(
+    mesh,
+    nb_controls: int,
+    nb_samples: int,
+    n_lanes: int,
+    max_hits: int,
+    max_geno: int,
+    want_geno: bool,
+    want_rows: bool,
+    wide_sums: bool,
+):
+    """Build the jitted sharded merge step for a mesh.
+
+    step(lanes tuple of [D*cap] u32 row-sharded, sample [D*cap] i32,
+         count [D*cap] i32, ratio_c, ratio_k, lr_min, pca_thr, pca_seed)
+    -> dict:
+      totals [3] i32 replicated        psum'd (n_distinct, n_hits, n_geno)
+      n_hits_d / n_geno_d [D] i32      per-device counts (slot slicing)
+      hit_lanes tuple [D*max_hits] u32 per-device slot-compacted survivors
+      hit_sc/hit_sk (or _hi/_lo pairs when wide_sums) [D*max_hits] i32
+      hit_rows [D*max_hits, S] i32     (want_rows)
+      geno_rows [D*max_geno, S] u8     (want_geno)
+    """
+
+    def _local(lanes, sample, count, ratio_c, ratio_k, lr_min,
+               pca_thr, pca_seed):
+        out = merge_lrt_local(
+            lanes, sample, count,
+            nb_controls, ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+            max_hits, max_geno, want_geno,
+            nb_samples=nb_samples, want_rows=want_rows, wide_sums=wide_sums,
+        )
+        totals = jax.lax.psum(
+            jnp.stack([out["n_distinct"], out["n_hits"], out["n_geno"]]),
+            ROW_AXIS,
+        )
+        res = {
+            "totals": totals,
+            "n_hits_d": out["n_hits"].reshape(1),
+            "n_geno_d": out["n_geno"].reshape(1),
+            "hit_lanes": out["hit_lanes"],
+        }
+        for key in ("hit_sc", "hit_sk", "hit_sc_hi", "hit_sc_lo",
+                    "hit_sk_hi", "hit_sk_lo"):
+            if key in out:
+                res[key] = out[key]
+        if want_rows:
+            res["hit_rows"] = out["hit_rows"]
+        if want_geno:
+            res["geno_rows"] = out["geno_rows"]
+        return res
+
+    out_specs = {
+        "totals": P(),
+        "n_hits_d": P(ROW_AXIS),
+        "n_geno_d": P(ROW_AXIS),
+        "hit_lanes": (P(ROW_AXIS),) * n_lanes,
+    }
+    sum_keys = (
+        ("hit_sc_hi", "hit_sc_lo", "hit_sk_hi", "hit_sk_lo")
+        if wide_sums
+        else ("hit_sc", "hit_sk")
+    )
+    for key in sum_keys:
+        out_specs[key] = P(ROW_AXIS)
+    if want_rows:
+        out_specs["hit_rows"] = P(ROW_AXIS, None)
+    if want_geno:
+        out_specs["geno_rows"] = P(ROW_AXIS, None)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            (P(ROW_AXIS),) * n_lanes,  # lanes
+            P(ROW_AXIS),               # sample
+            P(ROW_AXIS),               # count
+            P(), P(), P(), P(), P(),   # scalars
+        ),
+        out_specs=out_specs,
+    )
+    return jax.jit(sharded)
+
+
+def put_row_sharded(mesh, arr):
+    """Place a host array row-sharded on the mesh (leading dim divides D)."""
+    spec = P(ROW_AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))

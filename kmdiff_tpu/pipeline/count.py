@@ -180,6 +180,87 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     return kmers, np.asarray(part_d)[:U], np.asarray(counts)[:U]
 
 
+def count_sample_device_mesh(
+    all_codes: list[np.ndarray], k: int, nb_partitions: int, mesh
+):
+    """Mesh counting: the code stream splits into D overlapping chunks
+    (k-1 codes of overlap, so every window lands in exactly one chunk) and
+    ONE sharded dispatch per sample runs extraction -> all_to_all
+    partition regroup -> per-device sort+RLE
+    (parallel.count_step.make_sharded_count_kernel). Output contract
+    matches count_sample_device.
+    """
+    from kmdiff_tpu.parallel.count_step import make_sharded_count_kernel
+    from kmdiff_tpu.parallel.merge_step import put_row_sharded
+    from kmdiff_tpu.ops.codec import INVALID, lanes_to_words, n_lanes
+
+    D = mesh.devices.size
+    sep = np.full(1, INVALID, dtype=np.uint8)
+    parts = []
+    for c in all_codes:
+        if parts:
+            parts.append(sep)
+        parts.append(c)
+    codes = (
+        np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    )
+    N = len(codes)
+    if N < k:
+        return (
+            np.zeros((0, n_words(k)), np.uint64),
+            np.zeros(0, np.uint32),
+            np.zeros(0, np.uint32),
+        )
+
+    # D chunks with k-1 overlap; shared pow2 cap keeps one compiled shape
+    step = -(-N // D)
+    cap = 1 << max(14, (step + k - 2).bit_length())
+    buf = np.full(D * cap, INVALID, dtype=np.uint8)
+    for d in range(D):
+        lo = d * step
+        hi = min(N, lo + step + k - 1)
+        if lo < N:
+            buf[d * cap : d * cap + (hi - lo)] = codes[lo:hi]
+    codes_dev = put_row_sharded(mesh, buf)
+
+    W_local = cap - k + 1
+    bucket_cap = 1 << max(10, (2 * (W_local // D) + 1024 - 1).bit_length())
+    max_distinct = max(1 << 14, (D * bucket_cap) >> 2)
+    while True:
+        kern = make_sharded_count_kernel(
+            mesh, k, nb_partitions, bucket_cap, max_distinct
+        )
+        n_dist, n_drop, part_d, lanes_d, counts_d = kern(codes_dev)
+        n_dist = np.asarray(n_dist)
+        if int(np.asarray(n_drop)[0]) > 0:
+            bucket_cap *= 2
+            continue
+        if int(n_dist.max()) > max_distinct:
+            max_distinct = 1 << (int(n_dist.max()) - 1).bit_length()
+            continue
+        break
+
+    # gather per-device compacted results, then group by partition: each
+    # partition is wholly owned by one device, so a stable sort on the
+    # partition id alone preserves the per-device (part, kmer) order
+    L = n_lanes(k)
+    part_np = np.asarray(part_d)
+    lanes_np = [np.asarray(l) for l in lanes_d]
+    counts_np = np.asarray(counts_d)
+    segs = [
+        slice(d * max_distinct, d * max_distinct + int(n_dist[d]))
+        for d in range(D)
+    ]
+    part_all = np.concatenate([part_np[s] for s in segs])
+    counts_all = np.concatenate([counts_np[s] for s in segs])
+    lanes_all = tuple(
+        np.concatenate([ln[s] for s in segs]) for ln in lanes_np
+    )
+    order = np.argsort(part_all, kind="stable")
+    kmers = lanes_to_words(tuple(ln[order] for ln in lanes_all))
+    return kmers, part_all[order], counts_all[order]
+
+
 def count_sample(
     paths: list[str], k: int, nb_partitions: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -187,13 +268,19 @@ def count_sample(
 
     Returns (kmers sorted by (part, kmer), parts, counts) pre hard-min.
     Every k rides the fused device path (the reference's k ceiling is 128,
-    src/main.cc:29-50; the CLI enforces the same range).
+    src/main.cc:29-50; the CLI enforces the same range); with a mesh
+    active the sample's stream shards over the devices with an all_to_all
+    partition regroup.
     """
     from kmdiff_tpu.io.fasta import flat_codes
+    from kmdiff_tpu.parallel.runtime import get_mesh
 
     if k > 128:
         raise InputError(f"k={k} exceeds the supported maximum of 128")
     all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
+    mesh = get_mesh()
+    if mesh is not None:
+        return count_sample_device_mesh(all_codes, k, nb_partitions, mesh)
     return count_sample_device(all_codes, k, nb_partitions)
 
 

@@ -257,24 +257,30 @@ class PartitionProcessor:
     ) -> PartitionResult:
         """Device-side merge path: sort/segment-sum/compact on device; only
         survivors (and PCA sample rows) return to host
-        (kmdiff_tpu.ops.merge_dev). Partitions above MAX_DEVICE_ROWS
-        stream through in key-range chunks."""
+        (kmdiff_tpu.ops.merge_dev). Partitions above the per-dispatch row
+        budget (MAX_DEVICE_ROWS per device; a mesh multiplies it by the
+        device count) stream through in key-range chunks."""
+        from kmdiff_tpu.parallel.runtime import get_mesh
+
+        mesh = get_mesh()
+        budget = MAX_DEVICE_ROWS * (mesh.devices.size if mesh is not None else 1)
         N_real = int(sum(len(k) for k in kmers_list))
-        if N_real > MAX_DEVICE_ROWS:
+        if N_real > budget:
             return self._process_device_merge_chunked(
-                partition, kmers_list, counts_list, acc, ksize
+                partition, kmers_list, counts_list, acc, ksize, budget
             )
         return self._device_merge_chunk(
             partition, kmers_list, counts_list, acc, ksize, finish=True
         )
 
     def _process_device_merge_chunked(
-        self, partition, kmers_list, counts_list, acc, ksize
+        self, partition, kmers_list, counts_list, acc, ksize,
+        budget=MAX_DEVICE_ROWS,
     ) -> PartitionResult:
         """Split the partition at common k-mer boundaries so every chunk
         is an independent sub-partition of bounded size."""
         N_real = sum(len(k) for k in kmers_list)
-        n_chunks = -(-N_real // (MAX_DEVICE_ROWS // 2))
+        n_chunks = -(-N_real // (budget // 2))
         # splitters: quantiles of the concatenated first-word keys
         keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
         qs = np.quantile(keys, np.linspace(0, 1, n_chunks + 1)[1:-1])
@@ -339,11 +345,104 @@ class PartitionProcessor:
         self, partition, kmers_list, counts_list, acc, ksize, finish=True,
         sampler_override=None, matrix_sink=None,
     ) -> PartitionResult:
+        from kmdiff_tpu.ops.merge_dev import lanes_to_words
+        from kmdiff_tpu.parallel.runtime import get_mesh
+
+        sampler = sampler_override if sampler_override is not None else self.sampler
+        want_geno = sampler is not None
+        save_matrix = self.save_matrix_path is not None
+        want_rows = self.keep_counts or save_matrix
+        wide = self.params.wide_sums
+
+        mesh = get_mesh()
+        if mesh is not None:
+            disp = self._dispatch_mesh(
+                mesh, kmers_list, counts_list, sampler, want_geno, want_rows,
+                wide,
+            )
+        else:
+            disp = self._dispatch_single(
+                kmers_list, counts_list, sampler, want_geno, want_rows, wide
+            )
+        n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows = disp
+        n_hits = len(s_c)
+
+        p, sg, mc, mk = self.model.process_sums(s_c, s_k)
+        final = p <= self.threshold
+        kmers_u64 = lanes_to_words(hit_lanes)[final]
+        p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+
+        counts_rows = None
+        if want_rows:
+            # rows carry uint32 bit patterns in i32 slots; view back before
+            # widening so counts >= 2^31 stay positive
+            rows_i32 = rows_all[final]
+            if self.keep_counts:
+                counts_rows = rows_i32.view(np.uint32).astype(np.float64)
+            if save_matrix:
+                if matrix_sink is not None:
+                    matrix_sink.append((kmers_u64, rows_i32))
+                else:
+                    self._write_matrix(partition, kmers_u64, rows_i32, ksize)
+        if want_geno:
+            sampler.add_sampled(partition, geno_rows)
+
+        block = KmerSignBlock(
+            kmers_u64,
+            np.asarray(p, dtype=np.float64),
+            np.asarray(sg, dtype=np.int8),
+            np.asarray(mc, dtype=np.float64),
+            np.asarray(mk, dtype=np.float64),
+            counts_rows,
+        )
+        acc.push_block(block)
+        if finish:
+            acc.finish()
+        n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
+        return PartitionResult(
+            partition, n_distinct, len(block), n_ctrl, len(block) - n_ctrl
+        )
+
+    # -- kernel dispatch (single device / mesh) ------------------------------
+
+    def _budgets(self, pad_to, want_geno, geno_rate):
+        """Initial compaction capacities: nonzero(size=s) cost grows
+        superlinearly in s on TPU, so start tight (real runs keep ~1e-6 of
+        rows at alpha/cutoff) and retry at the needed pow2 on overflow."""
+        tight = self.params.p_threshold <= 1e-3
+        max_hits = min(pad_to, 1 << 14) if tight else pad_to
+        max_geno = (
+            min(pad_to, 1 << max(14, int(3 * geno_rate * pad_to).bit_length()))
+            if want_geno
+            else 1
+        )
+        return max_hits, max_geno
+
+    def _combine_sums(self, out, sl, wide):
+        """Device sum outputs -> exact int64 (recombining the
+        16-bit-split halves on the wide path)."""
+        if wide:
+            s_c = (
+                np.asarray(out["hit_sc_hi"])[sl].astype(np.int64) * 65536
+                + np.asarray(out["hit_sc_lo"])[sl]
+            )
+            s_k = (
+                np.asarray(out["hit_sk_hi"])[sl].astype(np.int64) * 65536
+                + np.asarray(out["hit_sk_lo"])[sl]
+            )
+        else:
+            s_c = np.asarray(out["hit_sc"])[sl].astype(np.int64)
+            s_k = np.asarray(out["hit_sk"])[sl].astype(np.int64)
+        return s_c, s_k
+
+    def _dispatch_single(
+        self, kmers_list, counts_list, sampler, want_geno, want_rows, wide
+    ):
+        """One-device merge kernel dispatch with overflow retry."""
         import jax.numpy as jnp
 
         from kmdiff_tpu.ops.merge_dev import (
             build_triples,
-            lanes_to_words,
             merge_lrt_kernel,
             pca_threshold_u32,
         )
@@ -351,25 +450,10 @@ class PartitionProcessor:
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
         lanes, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
-
-        sampler = sampler_override if sampler_override is not None else self.sampler
-        want_geno = sampler is not None
-        save_matrix = self.save_matrix_path is not None
-        want_rows = self.keep_counts or save_matrix
-        # compaction capacity: nonzero(size=s) cost grows superlinearly in
-        # s on TPU, so start tight (real runs keep ~1e-6 of rows at
-        # alpha/cutoff) and retry at the EXACT needed pow2 on overflow
-        tight = self.params.p_threshold <= 1e-3
-        max_hits = min(pad_to, 1 << 14) if tight else pad_to
         geno_rate = getattr(sampler, "rate", 0.0)
-        max_geno = (
-            min(pad_to, 1 << max(14, int(3 * geno_rate * pad_to).bit_length()))
-            if want_geno
-            else 1
-        )
+        max_hits, max_geno = self._budgets(pad_to, want_geno, geno_rate)
 
         S = len(kmers_list)
-        wide = self.params.wide_sums
         while True:
             out = merge_lrt_kernel(
                 tuple(jnp.asarray(l) for l in lanes),
@@ -397,58 +481,159 @@ class PartitionProcessor:
                 max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
 
         n_distinct = int(out["n_distinct"])
-        if wide:
-            # recombine the 16-bit-split device sums into exact int64
-            s_c = (
-                np.asarray(out["hit_sc_hi"])[:n_hits].astype(np.int64) * 65536
-                + np.asarray(out["hit_sc_lo"])[:n_hits]
-            )
-            s_k = (
-                np.asarray(out["hit_sk_hi"])[:n_hits].astype(np.int64) * 65536
-                + np.asarray(out["hit_sk_lo"])[:n_hits]
-            )
-        else:
-            s_c = np.asarray(out["hit_sc"])[:n_hits].astype(np.int64)
-            s_k = np.asarray(out["hit_sk"])[:n_hits].astype(np.int64)
+        s_c, s_k = self._combine_sums(out, slice(0, n_hits), wide)
         hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
+        rows_all = (
+            np.asarray(out["hit_rows"])[:n_hits] if want_rows else None
+        )
+        geno_rows = (
+            np.asarray(out["geno_rows"])[:n_geno] if want_geno else None
+        )
+        return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 
-        p, sg, mc, mk = self.model.process_sums(s_c, s_k)
-        final = p <= self.threshold
-        kmers_u64 = lanes_to_words(hit_lanes)[final]
-        p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+    def _dispatch_mesh(
+        self, mesh, kmers_list, counts_list, sampler, want_geno, want_rows,
+        wide,
+    ):
+        """Mesh-sharded merge: split this chunk's triples at k-mer key
+        ranges (free — sample streams are sorted), one range per device;
+        every device runs the full merge kernel on its range and only the
+        psum'd counters plus survivor-sized outputs leave
+        (parallel.merge_step). Range order is ascending, so concatenating
+        per-device survivors reproduces the single-device output order
+        byte-for-byte."""
+        import jax.numpy as jnp
 
-        counts_rows = None
-        if want_rows:
-            # rows carry uint32 bit patterns in i32 slots; view back before
-            # widening so counts >= 2^31 stay positive
-            rows_i32 = np.asarray(out["hit_rows"])[:n_hits][final]
-            if self.keep_counts:
-                counts_rows = rows_i32.view(np.uint32).astype(np.float64)
-            if save_matrix:
-                if matrix_sink is not None:
-                    matrix_sink.append((kmers_u64, rows_i32))
-                else:
-                    self._write_matrix(partition, kmers_u64, rows_i32, ksize)
-        if want_geno:
-            sampler.add_sampled(
-                partition, np.asarray(out["geno_rows"])[:n_geno]
+        from kmdiff_tpu.ops.merge_dev import build_triples, pca_threshold_u32
+        from kmdiff_tpu.parallel.merge_step import (
+            make_sharded_merge_step,
+            put_row_sharded,
+        )
+
+        D = mesh.devices.size
+        S = len(kmers_list)
+
+        # D ascending key ranges over the concatenated first-word keys
+        nonempty = [k[:, 0] for k in kmers_list if len(k)]
+        if not nonempty:
+            bounds = np.zeros(0, np.uint64)
+        else:
+            keys = np.concatenate(nonempty)
+            qs = np.quantile(keys, np.linspace(0, 1, D + 1)[1:-1])
+            bounds = qs.astype(np.uint64)
+        range_slices = []  # per device: [(a, b) per sample]
+        for c in range(D):
+            lo_b = bounds[c - 1] if c > 0 else None
+            hi_b = bounds[c] if c < len(bounds) else None
+            per_sample = []
+            for km in kmers_list:
+                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
+                b = np.searchsorted(km[:, 0], hi_b) if hi_b is not None else len(km)
+                per_sample.append((a, b))
+            range_slices.append(per_sample)
+
+        range_n = [
+            sum(b - a for a, b in per_sample) for per_sample in range_slices
+        ]
+        cap = 1 << max(12, (max(int(max(range_n)), 1) - 1).bit_length())
+
+        # per-device triple arrays, concatenated into [D*cap] host buffers
+        n_lanes = 2 * kmers_list[0].shape[1] if kmers_list else 2
+        lane_bufs = [np.empty(D * cap, np.uint32) for _ in range(n_lanes)]
+        sample_buf = np.empty(D * cap, np.int32)
+        count_buf = np.empty(D * cap, np.int32)
+        for d, per_sample in enumerate(range_slices):
+            lanes_d, sample_d, count_d, _ = build_triples(
+                [km[a:b] for km, (a, b) in zip(kmers_list, per_sample)],
+                [ct[a:b] for ct, (a, b) in zip(counts_list, per_sample)],
+                cap,
             )
+            for i in range(n_lanes):
+                lane_bufs[i][d * cap : (d + 1) * cap] = lanes_d[i]
+            sample_buf[d * cap : (d + 1) * cap] = sample_d
+            count_buf[d * cap : (d + 1) * cap] = count_d
 
-        block = KmerSignBlock(
-            kmers_u64,
-            np.asarray(p, dtype=np.float64),
-            np.asarray(sg, dtype=np.int8),
-            np.asarray(mc, dtype=np.float64),
-            np.asarray(mk, dtype=np.float64),
-            counts_rows,
+        geno_rate = getattr(sampler, "rate", 0.0)
+        max_hits, max_geno = self._budgets(cap, want_geno, geno_rate)
+
+        lanes_dev = tuple(put_row_sharded(mesh, b) for b in lane_bufs)
+        sample_dev = put_row_sharded(mesh, sample_buf)
+        count_dev = put_row_sharded(mesh, count_buf)
+        while True:
+            step = make_sharded_merge_step(
+                mesh, self.nb_controls, S, n_lanes, max_hits, max_geno,
+                want_geno, want_rows, wide,
+            )
+            out = step(
+                lanes_dev,
+                sample_dev,
+                count_dev,
+                jnp.float32(self.params.ratio_c),
+                jnp.float32(self.params.ratio_k),
+                jnp.float32(self.params.lr_min),
+                jnp.uint32(pca_threshold_u32(geno_rate)),
+                jnp.uint32(getattr(sampler, "seed", 0)),
+            )
+            n_hits_d = np.asarray(out["n_hits_d"])
+            n_geno_d = np.asarray(out["n_geno_d"]) if want_geno else None
+            if int(n_hits_d.max()) <= max_hits and (
+                not want_geno or int(n_geno_d.max()) <= max_geno
+            ):
+                break
+            max_hits = min(
+                cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length()
+            )
+            if want_geno:
+                max_geno = min(
+                    cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()
+                )
+
+        n_distinct = int(np.asarray(out["totals"])[0])
+
+        # gather per-device survivor slots in ascending range order
+        def gather(key, budget, counts_per_dev, extra_dim=False):
+            arr = np.asarray(out[key])
+            parts = [
+                arr[d * budget : d * budget + int(counts_per_dev[d])]
+                for d in range(D)
+            ]
+            return np.concatenate(parts, axis=0)
+
+        sums_np = {}
+        sum_keys = (
+            ("hit_sc_hi", "hit_sc_lo", "hit_sk_hi", "hit_sk_lo")
+            if wide
+            else ("hit_sc", "hit_sk")
         )
-        acc.push_block(block)
-        if finish:
-            acc.finish()
-        n_ctrl = int(np.sum(block.signs == int(Significance.CONTROL)))
-        return PartitionResult(
-            partition, n_distinct, len(block), n_ctrl, len(block) - n_ctrl
+        for key in sum_keys:
+            sums_np[key] = gather(key, max_hits, n_hits_d)
+        if wide:
+            s_c = sums_np["hit_sc_hi"].astype(np.int64) * 65536 + sums_np[
+                "hit_sc_lo"
+            ]
+            s_k = sums_np["hit_sk_hi"].astype(np.int64) * 65536 + sums_np[
+                "hit_sk_lo"
+            ]
+        else:
+            s_c = sums_np["hit_sc"].astype(np.int64)
+            s_k = sums_np["hit_sk"].astype(np.int64)
+        hit_lanes_all = np.asarray(out["hit_lanes"])  # [L, D*max_hits]
+        hit_lanes = tuple(
+            np.concatenate(
+                [
+                    hit_lanes_all[i, d * max_hits : d * max_hits + int(n_hits_d[d])]
+                    for d in range(D)
+                ]
+            )
+            for i in range(n_lanes)
         )
+        rows_all = (
+            gather("hit_rows", max_hits, n_hits_d) if want_rows else None
+        )
+        geno_rows = (
+            gather("geno_rows", max_geno, n_geno_d) if want_geno else None
+        )
+        return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 
 
 class _ChunkSamplerShim:

@@ -292,6 +292,7 @@ class PopStratCorrector:
     def correct_block(self, block: KmerSignBlock) -> None:
         """Correct a block of significant k-mers in place (batched device
         IRLS; replaces the per-k-mer scalar loop popstrat.hpp:249-333)."""
+        import jax
         import jax.numpy as jnp
 
         from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
@@ -305,18 +306,36 @@ class PopStratCorrector:
         yd = jnp.asarray(self.Y, dtype=dt)
         ratios = block.counts_ratio / self.totals[None, :]
 
+        from kmdiff_tpu.parallel.runtime import get_mesh
+
+        mesh = get_mesh()
+        D = mesh.devices.size if mesh is not None else 1
+
         alt_ll = np.empty(B, dtype=np.float64)
         for lo in range(0, B, self.BATCH_CHUNK):
             hi = min(B, lo + self.BATCH_CHUNK)
             # ragged tails of multi-chunk batches pad to the full chunk so
-            # the jit compiles one shape (pad rows carry ratio 0)
-            n_pad = self.BATCH_CHUNK - (hi - lo) if B > self.BATCH_CHUNK else 0
+            # the jit compiles one shape (pad rows carry ratio 0); with a
+            # mesh the batch also pads to a device multiple so the hits
+            # axis shards evenly
+            if B > self.BATCH_CHUNK:
+                n_pad = self.BATCH_CHUNK - (hi - lo)
+            else:
+                n_pad = (-(hi - lo)) % D
             X = np.broadcast_to(
                 self.alt_features,
                 (hi - lo + n_pad, *self.alt_features.shape),
             ).copy()
             X[: hi - lo, :, -1] = ratios[lo:hi]
             Xd = jnp.asarray(X, dtype=dt)
+            if mesh is not None:
+                # batch-parallel fits: shard the hits axis; XLA's SPMD
+                # partitioner splits the vmapped IRLS across the mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                Xd = jax.device_put(
+                    Xd, NamedSharding(mesh, P("rows", None, None))
+                )
             W, _err, _iters = batched_irls(Xd, yd, self.max_iteration)
             alt_ll[lo:hi] = np.asarray(
                 log_likelihood(Xd, W, yd), dtype=np.float64

@@ -50,3 +50,14 @@ def examples_dir():
     if not EXAMPLES.exists():
         pytest.skip("reference examples not available")
     return str(EXAMPLES)
+
+
+@pytest.fixture(autouse=True)
+def _reset_mesh_runtime():
+    """The CLI commands configure the global mesh runtime; reset it after
+    every test so unit tests see a deterministic (unconfigured,
+    single-device) state regardless of ordering."""
+    yield
+    from kmdiff_tpu.parallel import runtime
+
+    runtime.configure(None)
