@@ -134,12 +134,43 @@ class Aggregator:
 
     # -- order-dependent correctors: global sort + prefix walk ----------------
 
+    #: in-memory row budget for the order-dependent path. The reference
+    #: holds EVERY hit in a RAM priority queue and only warns about it
+    #: (src/cli.cpp:226-243, aggregator.hpp:240-322); above this budget we
+    #: spill stable-sorted runs to disk and stream a heap merge instead.
+    SORT_BUDGET_ROWS = 1 << 23
+
     def _run_sorted(self, out: _OutputPair) -> None:
-        blocks = []
-        for acc in self.accs:
-            blocks.extend(acc.blocks())
-            if self.progress is not None:
-                self.progress.tick()
+        budget = self.SORT_BUDGET_ROWS
+        runs: list[str] = []
+        pending: list[KmerSignBlock] = []
+        pending_rows = 0
+        try:
+            for acc in self.accs:
+                for block in acc.blocks():
+                    if len(block) == 0:
+                        continue
+                    pending.append(block)
+                    pending_rows += len(block)
+                    if pending_rows >= budget:
+                        runs.append(self._spill_run(pending))
+                        pending, pending_rows = [], 0
+                if self.progress is not None:
+                    self.progress.tick()
+            if not runs:
+                self._sorted_in_memory(pending, out)
+                return
+            if pending:
+                runs.append(self._spill_run(pending))
+            self._merge_runs(runs, out)
+        finally:
+            for path in runs:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+    def _sorted_in_memory(self, blocks: list[KmerSignBlock], out) -> None:
         if not blocks:
             return
         allb = KmerSignBlock.concat(blocks)
@@ -150,6 +181,127 @@ class Aggregator:
         survivors = order[mask]
         if len(survivors):
             out.write_block(allb.take(survivors))
+
+    # external sort machinery -------------------------------------------------
+
+    def _run_dtype(self, nw: int) -> np.dtype:
+        return np.dtype([
+            ("p", "<f8"),
+            ("kmer", "<u8", (nw,)),
+            ("sign", "i1"),
+            ("mc", "<f8"),
+            ("mk", "<f8"),
+        ])
+
+    def _spill_run(self, blocks: list[KmerSignBlock]) -> str:
+        """Stable-sort a batch by ascending p and spill it as one run.
+        Count rows are dropped — aggregation never writes them."""
+        import tempfile
+
+        allb = KmerSignBlock.concat(blocks)
+        order = np.argsort(allb.pvalues, kind="stable")
+        rec = np.empty(len(allb), dtype=self._run_dtype(allb.kmers.shape[1]))
+        rec["p"] = allb.pvalues[order]
+        rec["kmer"] = allb.kmers[order]
+        rec["sign"] = allb.signs[order]
+        rec["mc"] = allb.mean_control[order]
+        rec["mk"] = allb.mean_case[order]
+        fd, path = tempfile.mkstemp(
+            prefix="agg_run_", suffix=".bin", dir=self.output_dir
+        )
+        with os.fdopen(fd, "wb") as f:
+            rec.tofile(f)
+        return path
+
+    def _merge_runs(self, runs: list[str], out: _OutputPair) -> None:
+        """Heap-merge the sorted runs in ascending (p, run-order) — the
+        exact tie-break of a global stable sort over the same stream —
+        and walk the corrector with stop-at-first-rejection semantics
+        (aggregator.hpp:286-310)."""
+        import heapq
+
+        nw = None
+        cursors = []
+        CHUNK = 1 << 16
+        for ri, path in enumerate(runs):
+            f = open(path, "rb")
+            cursors.append({"file": f, "buf": None, "pos": 0, "idx": ri})
+        try:
+            nw = (self.kmer_size + 31) // 32
+            dt = self._run_dtype(nw)
+
+            def refill(cur):
+                cur["buf"] = np.fromfile(cur["file"], count=CHUNK, dtype=dt)
+                cur["pos"] = 0
+                return len(cur["buf"]) > 0
+
+            heap = []
+            for cur in cursors:
+                if refill(cur):
+                    heapq.heappush(
+                        heap, (cur["buf"]["p"][0], cur["idx"], cur)
+                    )
+
+            rank = 0
+            batch: list[np.ndarray] = []
+            ctype = self.corrector.type()
+            stop = False
+            while heap and not stop:
+                _p, _ri, cur = heapq.heappop(heap)
+                row = cur["buf"][cur["pos"]]
+                if self._passes(float(row["p"]), rank, ctype):
+                    rank += 1
+                    batch.append(row)
+                    if len(batch) >= CHUNK:
+                        self._write_rows(np.array(batch, dtype=dt), out, nw)
+                        batch = []
+                else:
+                    stop = True
+                    break
+                cur["pos"] += 1
+                if cur["pos"] >= len(cur["buf"]):
+                    if not refill(cur):
+                        cur["file"].close()
+                        cur["file"] = None
+                        continue
+                heapq.heappush(
+                    heap, (cur["buf"]["p"][cur["pos"]], cur["idx"], cur)
+                )
+            if batch:
+                self._write_rows(np.array(batch, dtype=dt), out, nw)
+        finally:
+            for cur in cursors:
+                if cur["file"] is not None:
+                    cur["file"].close()
+
+    def _passes(self, p: float, rank: int, ctype) -> bool:
+        """Scalar walk predicate — mirrors correction_mask_sorted row by
+        row (reference: src/corrector.cpp:9-89)."""
+        from kmdiff_tpu.core.corrector import CorrectionType
+
+        ctype = CorrectionType(ctype)
+        if ctype == CorrectionType.BONFERRONI:
+            return p < self.threshold / self.total
+        if ctype == CorrectionType.SIDAK:
+            return p < 1.0 - (1.0 - self.threshold) ** (1.0 / self.total)
+        if ctype == CorrectionType.NOTHING:
+            return p < self.threshold
+        if ctype == CorrectionType.BENJAMINI:
+            return p < ((rank + 1.0) / self.total) * self.threshold
+        if ctype == CorrectionType.HOLM:
+            return p < self.threshold / (self.total - rank)
+        raise ValueError(ctype)
+
+    def _write_rows(self, rows: np.ndarray, out: _OutputPair, nw: int) -> None:
+        block = KmerSignBlock(
+            np.ascontiguousarray(rows["kmer"]).reshape(len(rows), nw),
+            np.ascontiguousarray(rows["p"]),
+            np.ascontiguousarray(rows["sign"]),
+            np.ascontiguousarray(rows["mc"]),
+            np.ascontiguousarray(rows["mk"]),
+            None,
+        )
+        out.write_block(block)
 
 
 def make_aggregator(

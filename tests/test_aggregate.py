@@ -209,3 +209,31 @@ def test_aggregator_matches_reference_simulation(tmp_path, ctype):
     else:
         assert sorted(control) == sorted(control_sim)
         assert sorted(case) == sorted(case_sim)
+
+
+@pytest.mark.parametrize("ctype", [CorrectionType.BENJAMINI, CorrectionType.HOLM])
+def test_sorted_aggregator_spill_matches_in_memory(tmp_path, ctype, monkeypatch):
+    """Forcing a tiny in-memory budget routes the order-dependent path
+    through the external sorted-run merge; outputs must be byte-identical
+    to the unconstrained in-memory walk (SURVEY.md §7(d): graceful spill;
+    reference holds everything in RAM, aggregator.hpp:240-322)."""
+    rng = np.random.default_rng(9)
+    blocks = []
+    for i in range(5):
+        # duplicated p-values across blocks exercise the stable tie-break
+        pv = np.round(rng.uniform(0, 0.02, 37), 4)
+        b, _ = _rand_block(rng, 37, pvals=pv)
+        blocks.append(b)
+
+    ref_dir = tmp_path / "ref"
+    spill_dir = tmp_path / "spill"
+    ref_dir.mkdir()
+    spill_dir.mkdir()
+    _agg(ref_dir, [b for b in blocks], ctype, 0.05, 4000)
+    monkeypatch.setattr(Aggregator, "SORT_BUDGET_ROWS", 50)
+    _agg(spill_dir, [b for b in blocks], ctype, 0.05, 4000)
+
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (spill_dir / name).read_bytes() == (ref_dir / name).read_bytes()
+    # spill temp files are cleaned up
+    assert not [p for p in os.listdir(spill_dir) if p.startswith("agg_run_")]
