@@ -237,3 +237,35 @@ def test_sorted_aggregator_spill_matches_in_memory(tmp_path, ctype, monkeypatch)
         assert (spill_dir / name).read_bytes() == (ref_dir / name).read_bytes()
     # spill temp files are cleaned up
     assert not [p for p in os.listdir(spill_dir) if p.startswith("agg_run_")]
+
+
+def test_kff_golden_bytes(tmp_path):
+    """Pin the on-disk KFF format against a hand-derived byte string per
+    the KFF v1.0 spec (reference semantics: kff_utils.hpp:32-169) — not
+    just a self-roundtrip.
+
+    Two 5-mers, k=5: ACGTA and TTTTG. Codes (ascii>>1)&3: A=0 C=1 G=3 T=2.
+      ACGTA -> 0,1,3,2,0 ; first byte holds k%4=1 base (left-padded): 0x00,
+               then GTA? no: remaining 4 bases C,G,T,A -> 0b01_11_10_00 = 0x78
+      TTTTG -> 2,2,2,2,3 ; first byte 0x02, then T,T,T,G -> 0b10_10_10_11 = 0xAB
+    """
+    import struct
+
+    path = tmp_path / "g.kff"
+    with KffWriter(str(path), 5) as w:
+        w.write_kmer("ACGTA")
+        w.write_kmer("TTTTG")
+    got = path.read_bytes()
+
+    expect = b"KFF"
+    expect += bytes([1, 0, 0b00011110, 0, 0])        # v1.0, enc ACGT=0,1,3,2
+    expect += struct.pack(">I", 0)                    # free_size
+    expect += b"v" + struct.pack(">Q", 3)
+    expect += b"k\x00" + struct.pack(">Q", 5)
+    expect += b"max\x00" + struct.pack(">Q", 1)
+    expect += b"data_size\x00" + struct.pack(">Q", 0)
+    expect += b"r" + struct.pack(">Q", 2)             # 2 blocks
+    expect += bytes([0x00, 0x78])                     # ACGTA
+    expect += bytes([0x02, 0xAB])                     # TTTTG
+    expect += b"KFF"
+    assert got == expect
