@@ -76,23 +76,39 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
             logger.info("  merge kernels (%s budgets) compiled (%s)",
                         label, timer.formatted())
 
-    # popstrat batched IRLS chunk
+    # popstrat batched IRLS: the null fit ([1, n, F] dense form) plus the
+    # lastcol alt-fit ladder of pow2 chunk shapes the corrector actually
+    # dispatches (pipeline.popstrat.correct_block)
     if pop:
         import jax.numpy as jnp2
 
-        from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
+        from kmdiff_tpu.ops.glm import (
+            batched_irls,
+            batched_irls_lastcol,
+            default_dtype,
+            log_likelihood,
+            log_likelihood_lastcol,
+        )
         from kmdiff_tpu.pipeline.popstrat import PopStratCorrector
 
         dt = default_dtype()
         F = 1 + npc + 1 + 1  # intercept + PCs + totals + count ratio
         y = np.concatenate([np.ones(nb_controls), np.zeros(nb_cases)])
-        for B in (1, PopStratCorrector.BATCH_CHUNK):
-            X = rng.normal(0, 1, (B, S, F)).astype(np.float64)
-            X[:, :, 0] = 1.0
-            W, _e, _i = batched_irls(jnp2.asarray(X, dt), jnp2.asarray(y, dt))
+        Xn = rng.normal(0, 1, (1, S, F)).astype(np.float64)
+        Xn[:, :, 0] = 1.0
+        W, _e, _i = batched_irls(jnp2.asarray(Xn, dt), jnp2.asarray(y, dt))
+        jax.block_until_ready(
+            log_likelihood(jnp2.asarray(Xn, dt), W, jnp2.asarray(y, dt))
+        )
+        Xb = jnp2.asarray(Xn[0], dt)
+        B = 1 << 10
+        while B <= PopStratCorrector.BATCH_CHUNK:
+            last = jnp2.asarray(rng.uniform(0, 1, (B, S)), dt)
+            W, _e, _i = batched_irls_lastcol(Xb, last, jnp2.asarray(y, dt))
             jax.block_until_ready(
-                log_likelihood(jnp2.asarray(X, dt), W, jnp2.asarray(y, dt))
+                log_likelihood_lastcol(Xb, last, W, jnp2.asarray(y, dt))
             )
+            B <<= 1
         logger.info("  popstrat IRLS compiled (%s)", timer.formatted())
 
     logger.info("Warmup done in %s.", timer.formatted())

@@ -36,6 +36,57 @@ def default_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
+def _irls_single(Xi, y, max_iters: int, dt, g_floor):
+    """One logistic IRLS fit (the reference's glm_irls semantics); the
+    batched entry points vmap this body."""
+    n, F = Xi.shape
+    mu0 = (y + 0.5) / 2.0
+    eta0 = jnp.log(mu0 / (1.0 - mu0))
+    w0 = jnp.ones(F, dt)
+    state = (w0, eta0, mu0, jnp.asarray(1e18, dt), jnp.asarray(1e18, dt),
+             jnp.int32(0), jnp.bool_(False))
+
+    def cond(state):
+        return ~state[6]
+
+    def body(state):
+        w, eta, mu, prev_error, _err, iters, done = state
+        g = mu * (1.0 - mu)
+        good = g > g_floor
+        error = jnp.mean((y - mu) ** 2)
+        converged = (jnp.abs(error - prev_error) < _EPS_CONV) | (~good.any())
+
+        gz = jnp.where(good, g * eta + (y - mu), 0.0)  # g*z, masked
+        gw = jnp.where(good, g, 0.0)
+        H = (Xi * gw[:, None]).T @ Xi
+        rhs = Xi.T @ gz
+        new_w = jnp.linalg.solve(H, rhs)
+        solve_bad = ~jnp.isfinite(new_w).all()
+
+        new_iters = iters + 1
+        hit_max = new_iters >= max_iters
+        advance = ~converged & ~solve_bad & ~hit_max
+
+        w_out = jnp.where(advance, new_w, w)
+        eta_out = jnp.where(advance, Xi @ new_w, eta)
+        mu_out = jnp.where(advance, jax.nn.sigmoid(eta_out), mu)
+        done_out = converged | solve_bad | hit_max
+        return (
+            w_out,
+            eta_out,
+            mu_out,
+            jnp.where(converged, prev_error, error),
+            error,
+            jnp.where(converged, iters, new_iters),
+            done_out,
+        )
+
+    w, _eta, _mu, _prev, err, iters, _done = jax.lax.while_loop(
+        cond, body, state
+    )
+    return w, err, iters
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def batched_irls(X: jax.Array, y: jax.Array, max_iters: int = 500):
     """IRLS over a batch of design matrices.
@@ -48,56 +99,32 @@ def batched_irls(X: jax.Array, y: jax.Array, max_iters: int = 500):
     dt = X.dtype
     y = y.astype(dt)
     g_floor = jnp.asarray(_G_FLOOR if dt == jnp.float64 else 1e-30, dt)
+    return jax.vmap(
+        lambda Xi: _irls_single(Xi, y, max_iters, dt, g_floor)
+    )(X)
 
-    def single(Xi):
-        n, F = Xi.shape
-        mu0 = (y + 0.5) / 2.0
-        eta0 = jnp.log(mu0 / (1.0 - mu0))
-        w0 = jnp.ones(F, dt)
-        state = (w0, eta0, mu0, jnp.asarray(1e18, dt), jnp.asarray(1e18, dt),
-                 jnp.int32(0), jnp.bool_(False))
 
-        def cond(state):
-            return ~state[6]
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def batched_irls_lastcol(
+    X_base: jax.Array, last: jax.Array, y: jax.Array, max_iters: int = 500
+):
+    """IRLS where only the LAST feature column differs per item — the
+    popstrat alt-fit structure (popstrat.hpp:252-257). Takes the shared
+    [n, F] design once plus the [B, n] per-k-mer column and builds each
+    item's matrix on device, eliminating the [B, n, F] host broadcast and
+    its H2D (F/1 x less transfer, no host copy).
 
-        def body(state):
-            w, eta, mu, prev_error, _err, iters, done = state
-            g = mu * (1.0 - mu)
-            good = g > g_floor
-            error = jnp.mean((y - mu) ** 2)
-            converged = (jnp.abs(error - prev_error) < _EPS_CONV) | (~good.any())
+    Returns (weights [B, F], error [B], iters [B] i32).
+    """
+    dt = X_base.dtype
+    y = y.astype(dt)
+    g_floor = jnp.asarray(_G_FLOOR if dt == jnp.float64 else 1e-30, dt)
 
-            gz = jnp.where(good, g * eta + (y - mu), 0.0)  # g*z, masked
-            gw = jnp.where(good, g, 0.0)
-            H = (Xi * gw[:, None]).T @ Xi
-            rhs = Xi.T @ gz
-            new_w = jnp.linalg.solve(H, rhs)
-            solve_bad = ~jnp.isfinite(new_w).all()
+    def single(li):
+        Xi = X_base.at[:, -1].set(li.astype(dt))
+        return _irls_single(Xi, y, max_iters, dt, g_floor)
 
-            new_iters = iters + 1
-            hit_max = new_iters >= max_iters
-            advance = ~converged & ~solve_bad & ~hit_max
-
-            w_out = jnp.where(advance, new_w, w)
-            eta_out = jnp.where(advance, Xi @ new_w, eta)
-            mu_out = jnp.where(advance, jax.nn.sigmoid(eta_out), mu)
-            done_out = converged | solve_bad | hit_max
-            return (
-                w_out,
-                eta_out,
-                mu_out,
-                jnp.where(converged, prev_error, error),
-                error,
-                jnp.where(converged, iters, new_iters),
-                done_out,
-            )
-
-        w, _eta, _mu, _prev, err, iters, _done = jax.lax.while_loop(
-            cond, body, state
-        )
-        return w, err, iters
-
-    return jax.vmap(single)(X)
+    return jax.vmap(single)(last)
 
 
 @jax.jit
@@ -108,7 +135,22 @@ def log_likelihood(X: jax.Array, w: jax.Array, y: jax.Array) -> jax.Array:
     Computed with log-sigmoid identities (no underflow — the reference's
     raw product underflows for large cohorts, popstrat.hpp:267-310)."""
     z = jnp.einsum("bnf,bf->bn", X, w)
+    return _ll_from_logits(z, y)
+
+
+def _ll_from_logits(z, y):
     y = y.astype(z.dtype)
     # log p = -softplus(-z), log(1-p) = -softplus(z)
     ll = -(y * jax.nn.softplus(-z) + (1.0 - y) * jax.nn.softplus(z))
     return ll.sum(axis=1)
+
+
+@jax.jit
+def log_likelihood_lastcol(
+    X_base: jax.Array, last: jax.Array, w: jax.Array, y: jax.Array
+) -> jax.Array:
+    """log_likelihood for the shared-design + per-item-last-column form:
+    z = X_base[:, :-1] @ w[:-1] + last * w[-1] — no [B, n, F] tensor."""
+    zb = jnp.einsum("nf,bf->bn", X_base[:, :-1], w[:, :-1])
+    z = zb + last.astype(zb.dtype) * w[:, -1][:, None]
+    return _ll_from_logits(z, y)

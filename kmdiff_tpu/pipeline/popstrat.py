@@ -291,11 +291,21 @@ class PopStratCorrector:
 
     def correct_block(self, block: KmerSignBlock) -> None:
         """Correct a block of significant k-mers in place (batched device
-        IRLS; replaces the per-k-mer scalar loop popstrat.hpp:249-333)."""
+        IRLS; replaces the per-k-mer scalar loop popstrat.hpp:249-333).
+
+        Compile hygiene for remote-compile rigs: only the shared [n, F]
+        design plus the [B_pad, n] per-k-mer column ship to the device
+        (no [B, n, F] broadcast), and B_pad snaps to a power-of-two
+        ladder (floor 2^10, cap BATCH_CHUNK) so cold runs compile a
+        handful of shapes, not one per hit count."""
         import jax
         import jax.numpy as jnp
 
-        from kmdiff_tpu.ops.glm import batched_irls, default_dtype, log_likelihood
+        from kmdiff_tpu.ops.glm import (
+            batched_irls_lastcol,
+            default_dtype,
+            log_likelihood_lastcol,
+        )
 
         B = len(block)
         if B == 0:
@@ -304,41 +314,38 @@ class PopStratCorrector:
             raise ValueError("popstrat needs count-carrying accumulators")
         dt = default_dtype()
         yd = jnp.asarray(self.Y, dtype=dt)
+        Xb = jnp.asarray(self.alt_features, dtype=dt)  # shared [n, F]
         ratios = block.counts_ratio / self.totals[None, :]
 
         from kmdiff_tpu.parallel.runtime import get_mesh
 
         mesh = get_mesh()
-        D = mesh.devices.size if mesh is not None else 1
 
         alt_ll = np.empty(B, dtype=np.float64)
         for lo in range(0, B, self.BATCH_CHUNK):
             hi = min(B, lo + self.BATCH_CHUNK)
-            # ragged tails of multi-chunk batches pad to the full chunk so
-            # the jit compiles one shape (pad rows carry ratio 0); with a
-            # mesh the batch also pads to a device multiple so the hits
-            # axis shards evenly
-            if B > self.BATCH_CHUNK:
-                n_pad = self.BATCH_CHUNK - (hi - lo)
-            else:
-                n_pad = (-(hi - lo)) % D
-            X = np.broadcast_to(
-                self.alt_features,
-                (hi - lo + n_pad, *self.alt_features.shape),
-            ).copy()
-            X[: hi - lo, :, -1] = ratios[lo:hi]
-            Xd = jnp.asarray(X, dtype=dt)
+            # pow2 pad (floor 2^10): bounded compiled-shape set; pad rows
+            # carry ratio 0 and their fits are discarded. pow2 sizes are
+            # device-count multiples, so the mesh shards evenly.
+            b_pad = min(
+                self.BATCH_CHUNK, 1 << max(10, (hi - lo - 1).bit_length())
+            )
+            last = np.zeros((b_pad, ratios.shape[1]), dtype=np.float64)
+            last[: hi - lo] = ratios[lo:hi]
+            last_d = jnp.asarray(last, dtype=dt)
             if mesh is not None:
                 # batch-parallel fits: shard the hits axis; XLA's SPMD
                 # partitioner splits the vmapped IRLS across the mesh
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                Xd = jax.device_put(
-                    Xd, NamedSharding(mesh, P("rows", None, None))
+                last_d = jax.device_put(
+                    last_d, NamedSharding(mesh, P("rows", None))
                 )
-            W, _err, _iters = batched_irls(Xd, yd, self.max_iteration)
+            W, _err, _iters = batched_irls_lastcol(
+                Xb, last_d, yd, self.max_iteration
+            )
             alt_ll[lo:hi] = np.asarray(
-                log_likelihood(Xd, W, yd), dtype=np.float64
+                log_likelihood_lastcol(Xb, last_d, W, yd), dtype=np.float64
             )[: hi - lo]
 
         llr = -2.0 * (self.null_loglik - alt_ll)
