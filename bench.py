@@ -187,15 +187,99 @@ def measure_device_lrt() -> float:
     return v
 
 
+def measure_pipeline(baseline: float) -> dict:
+    """END-TO-END pipeline rates on a popsim cohort: `count` + `diff`
+    through the real command entry points, wall-clock inclusive of file
+    IO, LZ4, host<->device transfers, and exact f64 rescoring.
+
+    Runs LAST: the pipeline necessarily materializes device data on host,
+    which on this rig permanently switches the process into ~130 ms/
+    dispatch synchronous mode — the kernel measurements above must finish
+    first. The pipeline rate is therefore an honest lower bound that
+    includes the tunnel's ~200 MB/s transfer path; on a directly-attached
+    TPU host the transfer terms shrink by >an order of magnitude.
+    """
+    import shutil
+    import tempfile
+
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+    from kmdiff_tpu.pipeline.simulate import SimOptions, simulate
+
+    work = tempfile.mkdtemp(prefix="kmdiff_bench_")
+    try:
+        genome = 1 << (17 if QUICK else 23)  # 8.4 Mbp cohort reference
+        n_ctrl = n_case = 4 if QUICK else 10
+        t_sim = time.perf_counter()
+        simulate(SimOptions(
+            output_directory=os.path.join(work, "sim"),
+            genome_len=genome, nb_controls=n_ctrl, nb_cases=n_case,
+            read_size=150, coverage=1, error_rate=0.001, kmer_size=31,
+            seed=7,
+        ))
+        log(f"[bench] popsim cohort: {n_ctrl}+{n_case} samples x "
+            f"{genome} bp (gen {time.perf_counter()-t_sim:.1f}s)")
+
+        # two passes: the first pays one-time XLA compiles (~40-90 s/shape
+        # over this rig's remote-compile service; amortized by the
+        # persistent cache in real deployments), the second measures the
+        # steady-state pipeline
+        times = {}
+        for attempt in ("cold", "warm"):
+            run_dir = os.path.join(work, f"run_{attempt}")
+            t0 = time.perf_counter()
+            main_count(CountOptions(
+                fof=os.path.join(work, "sim", "fof.txt"), directory=run_dir,
+                kmer_size=31, hard_min=1, nb_partitions=4, nb_threads=4,
+            ))
+            t1 = time.perf_counter()
+            res = main_diff(DiffOptions(
+                kmtricks_dir=run_dir,
+                output_directory=os.path.join(work, f"out_{attempt}"),
+                nb_controls=n_ctrl, nb_cases=n_case, threshold=0.05,
+                correction=CorrectionType.BONFERRONI, nb_threads=4,
+            ))
+            t2 = time.perf_counter()
+            times[attempt] = (t1 - t0, t2 - t1)
+            log(f"[bench] pipeline ({attempt}): count {t1-t0:.1f}s, "
+                f"diff {t2-t1:.1f}s, tested {res['total_kmers']:.3e}")
+            shutil.rmtree(run_dir, ignore_errors=True)
+
+        total_bases = (n_ctrl + n_case) * genome  # coverage 1
+        count_rate = total_bases / times["warm"][0]
+        pipe_rate = res["total_kmers"] / times["warm"][1]
+        log(f"[bench] pipeline count: {count_rate:.3e} bases/s warm")
+        log(f"[bench] pipeline diff: {pipe_rate:.3e} kmers tested/s warm "
+            f"(IO+transfers included; vs C++ merge-only baseline "
+            f"{pipe_rate/baseline:.1f}x)")
+        return {
+            "pipeline_kmers_per_sec": round(pipe_rate, 1),
+            "pipeline_vs_baseline": round(pipe_rate / baseline, 3),
+            "counting_bases_per_sec": round(count_rate, 1),
+            "pipeline_total_tested": res["total_kmers"],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     baseline = measure_cpp_baseline()
     value = measure_device_merge()
     measure_device_lrt()  # LRT-only upper bound, reported on stderr
+    extra = {}
+    if "--no-pipeline" not in sys.argv:
+        try:
+            extra = measure_pipeline(baseline)
+        except Exception as e:  # pipeline stage is supplementary
+            log(f"[bench] pipeline measurement failed: {e!r}")
     print(json.dumps({
         "metric": "kmers_tested_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "kmer/s",
         "vs_baseline": round(value / baseline, 3),
+        **extra,
     }))
 
 

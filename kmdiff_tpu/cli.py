@@ -38,6 +38,16 @@ def _add_common(p: argparse.ArgumentParser):
              "(0 = all available, 1 = single device).",
     )
     p.add_argument(
+        "--distributed", metavar="HOST:PORT", default="",
+        help="multi-process runtime: coordinator address (every process "
+             "runs the same command over a shared filesystem; also "
+             "settable via KMDIFF_COORDINATOR).",
+    )
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="process count for --distributed.")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="this process's rank for --distributed.")
+    p.add_argument(
         "-v",
         "--verbose",
         default="info",
@@ -272,6 +282,15 @@ def _dispatch(args) -> int:
             kmer_size=args.kmer_size,
         ))
         return 0
+
+    if getattr(args, "distributed", ""):
+        from kmdiff_tpu.parallel.distributed import init_distributed
+
+        init_distributed(
+            coordinator=args.distributed,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
 
     if args.command == "count":
         from kmdiff_tpu.cmd.count import main_count

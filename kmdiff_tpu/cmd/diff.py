@@ -51,8 +51,11 @@ def _make_accumulators(opt: DiffOptions, nb_partitions: int, kmer_size: int,
     ]
 
 
-def do_diff(opt: DiffOptions, config, part_dir: str, accumulators, sampler=None) -> int:
-    """Merge + test stage (reference: diff.hpp:66-164)."""
+def do_diff(opt: DiffOptions, config, part_dir: str, accumulators, sampler=None,
+            owned: list[int] | None = None) -> int:
+    """Merge + test stage (reference: diff.hpp:66-164). `owned` restricts
+    this process to its round-robin partition share under multi-process
+    runs; counters reduce globally."""
     timer = Timer()
     logger.info("Process partitions")
 
@@ -93,20 +96,28 @@ def do_diff(opt: DiffOptions, config, part_dir: str, accumulators, sampler=None)
     )
     from kmdiff_tpu.utils.progress import get_progress_bar
 
+    n_jobs = config.nb_partitions if owned is None else len(owned)
     merger = GlobalMerge(
         processor, accumulators, nb_threads=opt.nb_threads,
-        progress=get_progress_bar("progress", config.nb_partitions),
+        progress=get_progress_bar("progress", n_jobs),
     )
 
     if matrix_paths:
-        total_kmers = merger.merge_matrices(matrix_paths)
+        total_kmers = merger.merge_matrices(matrix_paths, only=owned)
     else:
         part_paths = get_partition_paths(opt.kmtricks_dir, config.nb_partitions)
-        total_kmers = merger.merge_partitions(part_paths)
+        total_kmers = merger.merge_partitions(part_paths, only=owned)
 
     sign_controls, sign_cases = merger.signs()
+    nb_sign = merger.nb_sign()
+    if owned is not None:
+        from kmdiff_tpu.parallel.distributed import global_sum
+
+        total_kmers, nb_sign, sign_controls, sign_cases = global_sum(
+            [total_kmers, nb_sign, sign_controls, sign_cases]
+        )
     logger.info("Partitions processed (%s)", timer.formatted())
-    logger.info("%d/%d significant k-mers.", merger.nb_sign(), total_kmers)
+    logger.info("%d/%d significant k-mers.", nb_sign, total_kmers)
     logger.info(
         "Before correction: %d (control), %d (case).", sign_controls, sign_cases
     )
@@ -147,6 +158,7 @@ def main_diff(opt: DiffOptions) -> dict:
     from kmdiff_tpu.utils.exceptions import InputError
 
     from kmdiff_tpu.parallel import runtime
+    from kmdiff_tpu.parallel.distributed import is_distributed
 
     runtime.configure(opt.n_devices)
     whole = Timer()
@@ -159,6 +171,9 @@ def main_diff(opt: DiffOptions) -> dict:
             f"= {opt.nb_controls + opt.nb_cases}, but the run dir's fof has "
             f"{n_fof} samples"
         )
+
+    if is_distributed():
+        return _main_diff_distributed(opt, config, whole)
 
     os.makedirs(opt.output_directory, exist_ok=True)
     part_dir = os.path.join(opt.output_directory, "partitions")
@@ -254,4 +269,104 @@ def main_diff(opt: DiffOptions) -> dict:
         "total_kmers": opt.total_kmers,
         "control": counts[0],
         "case": counts[1],
+    }
+
+
+def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
+    """Multi-process diff over a shared filesystem: partitions round-robin
+    across processes for the merge stage (the dominant cost), a barrier
+    hands the spills to the primary, which runs popstrat + correction and
+    writes the outputs. Resume shortcuts are disabled in this mode (runs
+    are always full). Non-primary processes return after the merge with
+    the global tested counter and zeroed output counts.
+
+    This is the multi-host translation of the reference's single-node
+    thread pool over partitions (merge.hpp:237-317): DCN only carries the
+    barrier and the psum'd counters; every bulk byte moves through the
+    shared filesystem exactly like the reference's run dirs."""
+    import jax
+
+    from kmdiff_tpu.parallel.distributed import (
+        barrier,
+        is_primary,
+        owned_partitions,
+    )
+
+    pid = jax.process_index()
+    os.makedirs(opt.output_directory, exist_ok=True)
+    part_dir = os.path.join(opt.output_directory, "partitions")
+    os.makedirs(part_dir, exist_ok=True)
+    owned = owned_partitions(config.nb_partitions)
+    nb_samples = (opt.nb_controls + opt.nb_cases) if opt.pop_correction else 0
+    logger.info("distributed diff: process %d owns partitions %s", pid, owned)
+
+    sampler = None
+    pop_dir = ""
+    if opt.pop_correction:
+        pop_dir = os.path.join(opt.output_directory, "popstrat")
+        os.makedirs(pop_dir, exist_ok=True)
+        from kmdiff_tpu.pipeline.popstrat import GenoSampler
+
+        sampler = GenoSampler(
+            pop_dir, opt.kmer_pca, opt.seed, opt.nb_controls + opt.nb_cases
+        )
+
+    accumulators: list = [None] * config.nb_partitions
+    for p in owned:
+        accumulators[p] = FileAccumulator(
+            os.path.join(part_dir, f"p{p}_uncorrected"),
+            config.kmer_size,
+            read=False,
+            delete_on_destroy=False,
+            nb_samples=nb_samples,
+        )
+
+    opt.total_kmers = do_diff(
+        opt, config, part_dir, accumulators, sampler, owned=owned
+    )
+    if sampler is not None:
+        sampler.close_parts()
+    for p in owned:
+        accumulators[p].destroy()  # close; spills stay for the primary
+
+    barrier("merge_done")
+    if not is_primary():
+        logger.info("process %d merge done in %s.", pid, whole.formatted())
+        return {"total_kmers": opt.total_kmers, "control": 0, "case": 0,
+                "primary": False}
+
+    manifest = os.path.join(opt.output_directory, "options.json")
+    dump_options(opt, manifest)
+
+    accumulators = _make_accumulators(
+        opt, config.nb_partitions, config.kmer_size, part_dir,
+        read=True, nb_samples=nb_samples,
+    )
+    if opt.pop_correction:
+        from kmdiff_tpu.pipeline.popstrat import GenoSampler, do_pop
+
+        GenoSampler.assemble_parts(
+            pop_dir, config.nb_partitions, opt.nb_controls + opt.nb_cases
+        )
+        accumulators = do_pop(opt, config, accumulators, pop_dir, part_dir)
+
+    counts = do_correction(opt, config, accumulators, opt.total_kmers)
+    for acc in accumulators:
+        acc.destroy()
+    if not opt.keep_tmp:
+        for p in range(config.nb_partitions):
+            for name in (f"p{p}_uncorrected", f"p{p}_popstrat_uncorrected"):
+                path = os.path.join(part_dir, name)
+                if os.path.exists(path):
+                    os.remove(path)
+
+    from kmdiff_tpu.utils.rss import get_peak_rss_mb
+
+    logger.info("Done in %s, Peak RSS -> %d MB.", whole.formatted(),
+                get_peak_rss_mb())
+    return {
+        "total_kmers": opt.total_kmers,
+        "control": counts[0],
+        "case": counts[1],
+        "primary": True,
     }

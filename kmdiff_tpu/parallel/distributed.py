@@ -67,3 +67,36 @@ def owned_partitions(n_partitions: int) -> list[int]:
     """Partition indices this host merges/aggregates."""
     h, H = jax.process_index(), max(jax.process_count(), 1)
     return list(range(h, n_partitions, H))
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process rendezvous (DCN); no-op single-process. Used at the
+    shared-filesystem handoffs: count -> diff merge -> popstrat/aggregate
+    (the multi-host analogue of the reference's thread joins,
+    threadpool.cpp:41-50)."""
+    if not is_distributed():
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"kmdiff:{name}")
+
+
+def global_sum(values: list[int]) -> list[int]:
+    """Element-wise sum of per-process counters across all processes."""
+    if not is_distributed():
+        return list(values)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, dtype=np.int64)
+    )
+    return np.asarray(gathered).sum(axis=0).tolist()

@@ -16,7 +16,10 @@ ROW_AXIS = "rows"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = ROW_AXIS) -> Mesh:
-    devs = jax.devices()
+    # local devices only: under multi-process (jax.distributed) the
+    # pipeline parallelizes by PARTITION across processes (different data
+    # per process), so the SPMD mesh must not span processes
+    devs = jax.local_devices()
     if n_devices is not None:
         if len(devs) < n_devices:
             raise ValueError(

@@ -57,7 +57,7 @@ def get_mesh():
         _mesh = None
         _resolved = True
         return None
-    avail = len(jax.devices())
+    avail = len(jax.local_devices())
     if n == 0:
         n = avail
     if n > avail:

@@ -288,7 +288,18 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
     """Build the full run directory (reference: kmtricks pipeline ... --until
     count --hist). recurrence_min is recorded but — like the reference with
     --until count — not applied at this stage (the diff merge sees the
-    per-sample files directly)."""
+    per-sample files directly).
+
+    Under a multi-process runtime (jax.distributed), samples round-robin
+    across processes into the SHARED run dir, with a barrier before
+    return — the multi-host axis of SURVEY.md §2.3."""
+    from kmdiff_tpu.parallel.distributed import (
+        barrier,
+        is_distributed,
+        is_primary,
+        owned_samples,
+    )
+
     fof = Fof.parse(opt.fof)
     if not fof.entries:
         raise InputError(f"{opt.fof}: empty fof")
@@ -302,7 +313,8 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
         os.makedirs(
             os.path.join(run_dir, "counts", f"partition_{p}"), exist_ok=True
         )
-    shutil.copyfile(opt.fof, os.path.join(run_dir, "kmtricks.fof"))
+    if is_primary():
+        shutil.copyfile(opt.fof, os.path.join(run_dir, "kmtricks.fof"))
 
     def one_sample(i: int):
         entry = fof.entries[i]
@@ -347,12 +359,19 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
         )
         return len(counts_f)
 
-    # samples in parallel on host threads; device work serializes naturally
+    # samples in parallel on host threads; device work serializes naturally.
+    # Multi-process: each process takes its round-robin sample share.
+    my_samples = (
+        owned_samples(len(fof.entries))
+        if is_distributed()
+        else list(range(len(fof.entries)))
+    )
     with cf.ThreadPoolExecutor(max(1, opt.nb_threads)) as pool:
-        totals = list(pool.map(one_sample, range(len(fof.entries))))
+        totals = list(pool.map(one_sample, my_samples))
 
+    barrier("count_done")
     logger.info(
-        "Counted %d samples, %d partitions, k=%d.",
-        len(fof.entries), nb_partitions, opt.kmer_size,
+        "Counted %d/%d samples, %d partitions, k=%d.",
+        len(my_samples), len(fof.entries), nb_partitions, opt.kmer_size,
     )
     return None

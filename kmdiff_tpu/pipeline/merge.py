@@ -690,20 +690,28 @@ class GlobalMerge:
         self.results = results  # type: ignore[assignment]
         return self.results
 
-    def merge_partitions(self, partition_paths: list[list[str]]) -> int:
+    def merge_partitions(
+        self, partition_paths: list[list[str]], only: list[int] | None = None
+    ) -> int:
+        """Merge all partitions, or the `only` subset (multi-process runs
+        round-robin partitions across processes over the shared FS)."""
+        sel = range(len(partition_paths)) if only is None else only
         jobs = [
-            (lambda p=p, paths=paths: self.processor.process_files(
-                p, paths, self.accs[p]))
-            for p, paths in enumerate(partition_paths)
+            (lambda p=p: self.processor.process_files(
+                p, partition_paths[p], self.accs[p]))
+            for p in sel
         ]
         self._run(jobs)
         return self.total_kmers()
 
-    def merge_matrices(self, matrix_paths: list[str]) -> int:
+    def merge_matrices(
+        self, matrix_paths: list[str], only: list[int] | None = None
+    ) -> int:
+        sel = range(len(matrix_paths)) if only is None else only
         jobs = [
-            (lambda p=p, path=path: self.processor.process_matrix(
-                p, path, self.accs[p]))
-            for p, path in enumerate(matrix_paths)
+            (lambda p=p: self.processor.process_matrix(
+                p, matrix_paths[p], self.accs[p]))
+            for p in sel
         ]
         self._run(jobs)
         return self.total_kmers()

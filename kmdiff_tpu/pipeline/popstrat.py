@@ -103,12 +103,41 @@ class GenoSampler:
             if parts
             else np.zeros((0, self.nb_samples), np.uint8)
         )
+        self._write_eigen_files(self.geno)
+
+    def _write_eigen_files(self, geno: np.ndarray) -> None:
         geno_path = os.path.join(self.pop_dir, "gwas_eigenstratX.geno")
         snp_path = os.path.join(self.pop_dir, "gwas_eigenstratX.snp")
         with open(geno_path, "w") as g, open(snp_path, "w") as s:
-            for i, row in enumerate(self.geno):
+            for i, row in enumerate(geno):
                 g.write("\t".join("1" if v else "0" for v in row) + "\t\n")
                 s.write(f"{i}\t1\t0.0\t0\n")
+
+    # multi-process protocol: every process spills its owned partitions'
+    # sampled rows; after the merge barrier the primary assembles them in
+    # partition order (deterministic — identical to a single-process run)
+
+    def close_parts(self) -> None:
+        for p, rows in self._rows.items():
+            np.save(os.path.join(self.pop_dir, f"geno_part_{p}.npy"), rows)
+
+    @staticmethod
+    def assemble_parts(pop_dir: str, nb_partitions: int, nb_samples: int):
+        parts = []
+        for p in range(nb_partitions):
+            path = os.path.join(pop_dir, f"geno_part_{p}.npy")
+            if os.path.exists(path):
+                parts.append(np.load(path))
+                os.remove(path)
+        geno = (
+            np.concatenate(parts)
+            if parts
+            else np.zeros((0, nb_samples), np.uint8)
+        )
+        sampler = GenoSampler(pop_dir, 0.0, 0, nb_samples)
+        sampler.geno = geno
+        sampler._write_eigen_files(geno)
+        return geno
 
 
 def write_parfile(path: str) -> None:

@@ -96,3 +96,124 @@ def test_two_process_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} OK" in out
+
+
+_PIPELINE_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from kmdiff_tpu.parallel.distributed import init_distributed
+assert init_distributed()
+
+work = os.environ["KMDIFF_TEST_WORK"]
+from kmdiff_tpu.cmd.count import main_count
+from kmdiff_tpu.cmd.diff import main_diff
+from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+from kmdiff_tpu.core.corrector import CorrectionType
+
+main_count(CountOptions(
+    fof=os.path.join(work, "fof.txt"),
+    directory=os.path.join(work, "run_dist"),
+    kmer_size=21, hard_min=1, nb_partitions=5, nb_threads=2,
+))
+res = main_diff(DiffOptions(
+    kmtricks_dir=os.path.join(work, "run_dist"),
+    output_directory=os.path.join(work, "out_dist"),
+    nb_controls=2, nb_cases=2, threshold=0.8, cutoff=1.0,
+    correction=CorrectionType.BONFERRONI, nb_threads=2,
+))
+print(f"proc {jax.process_index()} RES {res['total_kmers']}", flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("KMDIFF_SKIP_DISTRIBUTED") == "1",
+    reason="distributed smoke test disabled",
+)
+def test_two_process_count_diff_pipeline(tmp_path):
+    """The PRODUCT pipeline across 2 processes over a shared filesystem:
+    samples round-robin in count, partitions round-robin in the merge,
+    primary-only popstrat/aggregation — outputs byte-identical to a
+    single-process run."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    shared_c = ["".join(rng.choice(bases, 120)) for _ in range(3)]
+    shared_k = ["".join(rng.choice(bases, 120)) for _ in range(3)]
+    fof_lines = []
+    for sid in ("C1", "C2", "K1", "K2"):
+        fa = tmp_path / f"{sid}.fasta"
+        shared = shared_c if sid.startswith("C") else shared_k
+        with open(fa, "w") as f:
+            for j, s in enumerate(shared):
+                for r in range(6):
+                    f.write(f">s{j}_{r}\n{s}\n")
+            for j in range(3):
+                f.write(f">r{j}\n{''.join(rng.choice(bases, 120))}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    (tmp_path / "fof.txt").write_text("\n".join(fof_lines) + "\n")
+
+    # single-process reference run (in-process; conftest resets runtime)
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+
+    main_count(CountOptions(
+        fof=str(tmp_path / "fof.txt"), directory=str(tmp_path / "run_ref"),
+        kmer_size=21, hard_min=1, nb_partitions=5, nb_threads=2,
+        n_devices=1,
+    ))
+    ref = main_diff(DiffOptions(
+        kmtricks_dir=str(tmp_path / "run_ref"),
+        output_directory=str(tmp_path / "out_ref"),
+        nb_controls=2, nb_cases=2, threshold=0.8, cutoff=1.0,
+        correction=CorrectionType.BONFERRONI, nb_threads=2, n_devices=1,
+    ))
+    assert ref["control"] + ref["case"] > 0
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            KMDIFF_COORDINATOR=f"127.0.0.1:{port}",
+            KMDIFF_NUM_PROCESSES="2",
+            KMDIFF_PROCESS_ID=str(pid),
+            KMDIFF_NO_JAX_CACHE="1",
+            KMDIFF_TEST_WORK=str(tmp_path),
+            PYTHONPATH="/root/repo",
+        )
+        env.pop("XLA_FLAGS", None)
+        env.pop("KMDIFF_DEVICES", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _PIPELINE_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"RES {ref['total_kmers']}" in out, out
+
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_dist" / name).read_bytes() == (
+            tmp_path / "out_ref" / name
+        ).read_bytes()
+
+    # run-dir parity: per-sample partition files byte-identical
+    for part in range(5):
+        for sid in ("C1", "C2", "K1", "K2"):
+            rel = os.path.join("counts", f"partition_{part}",
+                               f"{sid}.kmer.lz4")
+            assert (tmp_path / "run_dist" / rel).read_bytes() == (
+                tmp_path / "run_ref" / rel
+            ).read_bytes()
