@@ -35,13 +35,12 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
     logger.info("Warming kernels on %s:%d for S=%d, k=%d...",
                 dev.platform, dev.id, S, kmer_size)
 
-    # counting kernels
+    # counting kernels (generic lanes: any k <= 128)
     from kmdiff_tpu.pipeline.count import BLOCK, count_sample_device
 
-    if kmer_size <= 32:
-        codes = rng.integers(0, 4, min(BLOCK, 1 << 20), dtype=np.uint8)
-        count_sample_device([codes], kmer_size, 4)
-        logger.info("  counting kernels compiled (%s)", timer.formatted())
+    codes = rng.integers(0, 4, min(BLOCK, 1 << 20), dtype=np.uint8)
+    count_sample_device([codes], kmer_size, 4)
+    logger.info("  counting kernels compiled (%s)", timer.formatted())
 
     # merge + LRT kernels at the pad buckets
     from kmdiff_tpu.core.model import PoissonLikelihood
@@ -49,32 +48,32 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
     from kmdiff_tpu.pipeline.merge import PartitionProcessor
 
     nw = (kmer_size + 31) // 32
-    if nw <= 2:
-        model = PoissonLikelihood(
-            nb_controls, nb_cases, [10**6] * nb_controls, [10**6] * nb_cases
-        )
-        for thr, label in ((0.05 / 1e5, "tight"), (0.5, "full")):
-            proc = PartitionProcessor(model, nb_controls, nb_cases, thr,
-                                      keep_counts=pop)
-            for bucket in pad_buckets:
-                n = max(bucket // 2 + 1, 8)
-                per = max(n // S, 2)
-                kmers = [
+    model = PoissonLikelihood(
+        nb_controls, nb_cases, [10**6] * nb_controls, [10**6] * nb_cases
+    )
+    for thr, label in ((0.05 / 1e5, "tight"), (0.5, "full")):
+        proc = PartitionProcessor(model, nb_controls, nb_cases, thr,
+                                  keep_counts=pop)
+        for bucket in pad_buckets:
+            n = max(bucket // 2 + 1, 8)
+            per = max(n // S, 2)
+            kmers = [
+                np.repeat(
                     np.sort(
                         rng.integers(0, 1 << min(2 * kmer_size - 1, 62),
                                      per, dtype=np.uint64)
-                    ).astype(np.uint64)[:, None]
-                    for _ in range(S)
-                ]
-                if nw == 2:
-                    kmers = [np.concatenate([k, k], axis=1) for k in kmers]
-                counts = [
-                    rng.integers(1, 16, per, dtype=np.uint32) for _ in range(S)
-                ]
-                proc._device_merge_chunk(0, kmers, counts,
-                                         VectorAccumulator(), kmer_size)
-            logger.info("  merge kernels (%s budgets) compiled (%s)",
-                        label, timer.formatted())
+                    )[:, None],
+                    nw, axis=1,
+                )
+                for _ in range(S)
+            ]
+            counts = [
+                rng.integers(1, 16, per, dtype=np.uint32) for _ in range(S)
+            ]
+            proc._device_merge_chunk(0, kmers, counts,
+                                     VectorAccumulator(), kmer_size)
+        logger.info("  merge kernels (%s budgets) compiled (%s)",
+                    label, timer.formatted())
 
     # popstrat batched IRLS: the null fit ([1, n, F] dense form) plus the
     # lastcol alt-fit ladder of pow2 chunk shapes the corrector actually

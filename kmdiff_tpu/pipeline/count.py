@@ -176,8 +176,18 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             break
         max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
 
-    kmers = lanes_to_words(tuple(np.asarray(l)[:U] for l in lanes_d))
-    return kmers, np.asarray(part_d)[:U], np.asarray(counts)[:U]
+    # D2H discipline for slow uplinks: slice device-side at pow2
+    # granularity (bounded compiled-shape set) so at most 2U rows leave,
+    # then fetch chunk-parallel (utils.transfer)
+    from kmdiff_tpu.utils.transfer import device_fetch
+
+    u_pad = min(max_distinct, 1 << max(10, max(U - 1, 1).bit_length()))
+
+    def fetch(a):
+        return device_fetch(a[:u_pad])[:U]
+
+    kmers = lanes_to_words(tuple(fetch(l) for l in lanes_d))
+    return kmers, fetch(part_d), fetch(counts)
 
 
 def count_sample_device_mesh(
@@ -243,10 +253,12 @@ def count_sample_device_mesh(
     # gather per-device compacted results, then group by partition: each
     # partition is wholly owned by one device, so a stable sort on the
     # partition id alone preserves the per-device (part, kmer) order
+    from kmdiff_tpu.utils.transfer import device_fetch
+
     L = n_lanes(k)
-    part_np = np.asarray(part_d)
-    lanes_np = [np.asarray(l) for l in lanes_d]
-    counts_np = np.asarray(counts_d)
+    part_np = device_fetch(part_d)
+    lanes_np = [device_fetch(l) for l in lanes_d]
+    counts_np = device_fetch(counts_d)
     segs = [
         slice(d * max_distinct, d * max_distinct + int(n_dist[d]))
         for d in range(D)

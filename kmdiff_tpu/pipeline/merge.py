@@ -480,14 +480,16 @@ class PartitionProcessor:
             if want_geno:
                 max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
 
+        from kmdiff_tpu.utils.transfer import device_fetch
+
         n_distinct = int(out["n_distinct"])
         s_c, s_k = self._combine_sums(out, slice(0, n_hits), wide)
         hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
         rows_all = (
-            np.asarray(out["hit_rows"])[:n_hits] if want_rows else None
+            device_fetch(out["hit_rows"])[:n_hits] if want_rows else None
         )
         geno_rows = (
-            np.asarray(out["geno_rows"])[:n_geno] if want_geno else None
+            device_fetch(out["geno_rows"])[:n_geno] if want_geno else None
         )
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 
@@ -591,8 +593,10 @@ class PartitionProcessor:
         n_distinct = int(np.asarray(out["totals"])[0])
 
         # gather per-device survivor slots in ascending range order
+        from kmdiff_tpu.utils.transfer import device_fetch
+
         def gather(key, budget, counts_per_dev, extra_dim=False):
-            arr = np.asarray(out[key])
+            arr = device_fetch(out[key])
             parts = [
                 arr[d * budget : d * budget + int(counts_per_dev[d])]
                 for d in range(D)
