@@ -62,28 +62,19 @@ def measure_cpp_baseline() -> float:
 def _timed_chain(step_fn, n_iters: int):
     """Trustworthy device timing under an async remote runtime.
 
-    step_fn(carry_scalar) -> carry_scalar runs the kernel with its input
+    step_fn(carry_int) -> device_scalar runs the kernel with its input
     perturbed by the carry and folds EVERY output into the returned
-    scalar. Chaining the carry through n_iters separate dispatches forces
-    the runtime to execute them serially and completely: blocking on the
-    final carry transitively waits on all n_iters executions, so neither
-    async dispatch nor per-buffer readiness can fake the number. (A
-    fori_loop variant compiles the chain into one executable but the
-    remote compile service stalls on looped sort kernels; per-dispatch
-    overhead here is real pipeline overhead anyway.)"""
-    import jax
-    import jax.numpy as jnp
-
-    carry = jnp.int32(0)
-    carry = step_fn(carry)  # warmup/compile
-    jax.block_until_ready(carry)
+    scalar; the scalar is READ on host (int()) every iteration before the
+    next dispatch. The read is the only operation this rig cannot fake:
+    per-buffer readiness (and even block_until_ready on a chained carry)
+    can signal long before the computation actually ran, which made
+    round-1 numbers ~500x optimistic. A 4-byte D2H per iteration costs
+    ~10-30 ms here — real, and included, like any consumer of the result
+    would pay."""
+    carry = int(step_fn(0))  # warmup/compile + enter read mode
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        carry = step_fn(carry)
-    jax.block_until_ready(carry)
-    # NOTE: no host materialization here — on this rig the first real D2H
-    # permanently degrades dispatch latency to ~130 ms (see measure notes);
-    # block_until_ready alone does not transfer data.
+        carry = int(step_fn(carry))
     return (time.perf_counter() - t0) / n_iters
 
 
@@ -133,10 +124,8 @@ def measure_device_merge() -> float:
             acc = acc + o[key].sum()
         return acc.astype(jnp.int32)
 
-    iters = 3 if QUICK else 20
+    iters = 3 if QUICK else 12
     dt = _timed_chain(step, iters)
-    # distinct count computed host-side: reading it off the device would
-    # trip the rig's D2H slow-mode before the LRT measurement runs
     n_distinct = len(np.unique(np.concatenate(
         [k[:, 0] for k in kmers])))
     v = n_distinct / dt
@@ -177,7 +166,7 @@ def measure_device_lrt() -> float:
             + lr.sum().astype(jnp.int32)
         )
 
-    iters = 3 if QUICK else 30
+    iters = 3 if QUICK else 12
     dt = _timed_chain(step, iters)
     v = B / dt
     dev = jax.devices()[0]

@@ -69,8 +69,9 @@ def _lane_shift(k: int, i: int) -> tuple[int, int]:
     return 2 * w + 1, shift
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def extract_canonical_lanes(codes: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "mask_invalid"))
+def extract_canonical_lanes(codes: jax.Array, k: int,
+                            mask_invalid: bool = False):
     """All k-windows of a code block as canonical u32 lane tuples — the one
     extraction kernel for every supported k (reference equivalent: the
     KMER_LIST template instantiations Kmer<32/64/96/128>,
@@ -81,6 +82,9 @@ def extract_canonical_lanes(codes: jax.Array, k: int):
     codes: [N] uint8 with INVALID marking non-ACGT bases and read breaks.
     Returns (lanes tuple of n_lanes(k) [W] u32 arrays, ok [W] bool) with
     W = N - k + 1; a window is ok iff it contains no INVALID byte.
+    mask_invalid=True additionally writes the all-ones sentinel into bad
+    windows' lanes inside this same dispatch (saves L elementwise
+    dispatches per block on sync-dispatch rigs).
 
     The k-mer value is built as k shifted vector ORs (VPU-parallel, XLA
     fuses the ladder into a few passes); canonical = lexicographic min of
@@ -118,6 +122,9 @@ def extract_canonical_lanes(codes: jax.Array, k: int):
         take_rc = take_rc | (undecided & lt)
         undecided = undecided & ~(lt | gt)
     out = tuple(jnp.where(take_rc, rc[l], fwd[l]) for l in range(L))
+    if mask_invalid:
+        sent = jnp.uint32(0xFFFFFFFF)
+        out = tuple(jnp.where(ok, l, sent) for l in out)
     return out, ok
 
 
@@ -215,6 +222,19 @@ def count_sort_rle_lanes(lanes, nb_partitions: int, max_distinct: int):
         partition_ids_lanes(lanes, nb_partitions),
     )
     return sort_rle_core(part, lanes, max_distinct)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nb_partitions", "max_distinct")
+)
+def fused_count_kernel(codes, k: int, nb_partitions: int, max_distinct: int):
+    """Whole-sample counting in ONE dispatch: extraction -> canonical ->
+    partition hash -> sort -> run-length encode (the single-device twin of
+    parallel.count_step.make_sharded_count_kernel). Minimizes dispatch
+    count on sync-dispatch rigs and lets XLA fuse the extraction ladder
+    straight into the sort's operand."""
+    lanes, _ok = extract_canonical_lanes(codes, k, mask_invalid=True)
+    return count_sort_rle_lanes(lanes, nb_partitions, max_distinct)
 
 
 def sort_rle_core(part, lanes, max_distinct: int):

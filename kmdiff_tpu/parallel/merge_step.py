@@ -44,6 +44,7 @@ def make_sharded_merge_step(
     want_geno: bool,
     want_rows: bool,
     wide_sums: bool,
+    packed_ctrl: bool = False,
 ):
     """Build the jitted sharded merge step for a mesh.
 
@@ -65,6 +66,7 @@ def make_sharded_merge_step(
             nb_controls, ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
             max_hits, max_geno, want_geno,
             nb_samples=nb_samples, want_rows=want_rows, wide_sums=wide_sums,
+            packed_ctrl=packed_ctrl,
         )
         totals = jax.lax.psum(
             jnp.stack([out["n_distinct"], out["n_hits"], out["n_geno"]]),

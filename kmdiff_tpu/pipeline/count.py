@@ -91,7 +91,6 @@ def _device_kmer_blocks(codes: np.ndarray, k: int):
     out = []
     stride = BLOCK - (k - 1)
     L = len(codes)
-    sent = jnp.uint32(0xFFFFFFFF)
     for s in range(0, max(L - k + 1, 1), stride):
         chunk = codes[s : s + BLOCK]
         if len(chunk) < BLOCK:
@@ -102,8 +101,10 @@ def _device_kmer_blocks(codes: np.ndarray, k: int):
             chunk = np.concatenate(
                 [chunk, np.full(pad_to - len(chunk), INVALID, dtype=np.uint8)]
             )
-        lanes, ok = extract_canonical_lanes(jnp.asarray(chunk), k)
-        out.append(tuple(jnp.where(ok, l, sent) for l in lanes))
+        lanes, _ok = extract_canonical_lanes(
+            jnp.asarray(chunk), k, mask_invalid=True
+        )
+        out.append(lanes)
     return out
 
 
@@ -144,9 +145,39 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
 
     from kmdiff_tpu.ops.codec import (
         count_sort_rle_lanes,
+        fused_count_kernel,
         lanes_to_words,
         n_lanes,
     )
+
+    # samples fitting one code block run extraction+sort+RLE as a SINGLE
+    # dispatch (fused_count_kernel); larger samples extract block-wise and
+    # count the concatenated lane stream
+    total_codes = sum(len(c) for c in all_codes) + max(len(all_codes) - 1, 0)
+    if 0 < total_codes <= BLOCK and total_codes >= k:
+        sep = np.full(1, 0xFF, dtype=np.uint8)
+        parts = []
+        for c in all_codes:
+            if parts:
+                parts.append(sep)
+            parts.append(c)
+        codes = np.concatenate(parts)
+        pad_to = min(BLOCK, 1 << max(14, (len(codes) - 1).bit_length()))
+        if pad_to > len(codes):
+            codes = np.concatenate(
+                [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
+            )
+        W = pad_to - k + 1
+        max_distinct = max(1 << 14, W >> 2)
+        while True:
+            n_distinct, part_d, lanes_d, counts = fused_count_kernel(
+                jnp.asarray(codes), k, nb_partitions, max_distinct
+            )
+            U = int(n_distinct)
+            if U <= max_distinct:
+                break
+            max_distinct = 1 << max(U - 1, 1).bit_length()
+        return _fetch_counted(U, max_distinct, part_d, lanes_d, counts)
 
     blocks = []
     for codes in all_codes:
@@ -176,9 +207,14 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             break
         max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
 
-    # D2H discipline for slow uplinks: slice device-side at pow2
-    # granularity (bounded compiled-shape set) so at most 2U rows leave,
-    # then fetch chunk-parallel (utils.transfer)
+    return _fetch_counted(U, max_distinct, part_d, lanes_d, counts)
+
+
+def _fetch_counted(U, max_distinct, part_d, lanes_d, counts):
+    """D2H discipline for slow uplinks: slice device-side at pow2
+    granularity (bounded compiled-shape set) so at most 2U rows leave,
+    then fetch chunk-parallel (utils.transfer)."""
+    from kmdiff_tpu.ops.codec import lanes_to_words
     from kmdiff_tpu.utils.transfer import device_fetch
 
     u_pad = min(max_distinct, 1 << max(10, max(U - 1, 1).bit_length()))

@@ -45,8 +45,11 @@ BLOCK_ROWS = 1 << 17
 
 #: max triples per device-merge dispatch; larger partitions stream through
 #: in k-mer key-range chunks (each chunk is segment-complete because every
-#: sample stream is sorted, so no cross-chunk stitching is needed)
-MAX_DEVICE_ROWS = 1 << 24
+#: sample stream is sorted, so no cross-chunk stitching is needed).
+#: Kept small: uniform ~2M-row chunks hit one compiled shape, bound the
+#: host allocation high-water (first-touch page faults on this class of
+#: rig run at ~10 MB/s), and keep pow2 padding waste tiny.
+MAX_DEVICE_ROWS = 1 << 22
 
 
 def merge_sorted_streams(
@@ -443,13 +446,25 @@ class PartitionProcessor:
 
         from kmdiff_tpu.ops.merge_dev import (
             build_triples,
+            build_triples_packed,
             merge_lrt_kernel,
             pca_threshold_u32,
         )
 
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
-        lanes, sample, count, _ = build_triples(kmers_list, counts_list, pad_to)
+        # fast narrow path: control bit packed into count's sign bit, no
+        # sample operand in the sort (25% less sort traffic)
+        packed = not (want_rows or want_geno or wide)
+        if packed:
+            lanes, count, _ = build_triples_packed(
+                kmers_list, counts_list, pad_to, self.nb_controls
+            )
+            sample = np.zeros(1, np.int32)
+        else:
+            lanes, sample, count, _ = build_triples(
+                kmers_list, counts_list, pad_to
+            )
         geno_rate = getattr(sampler, "rate", 0.0)
         max_hits, max_geno = self._budgets(pad_to, want_geno, geno_rate)
 
@@ -471,6 +486,7 @@ class PartitionProcessor:
                 nb_samples=S,
                 want_rows=want_rows,
                 wide_sums=wide,
+                packed_ctrl=packed,
             )
             n_hits = int(out["n_hits"])
             n_geno = int(out["n_geno"]) if want_geno else 0
@@ -540,19 +556,27 @@ class PartitionProcessor:
         cap = 1 << max(12, (max(int(max(range_n)), 1) - 1).bit_length())
 
         # per-device triple arrays, concatenated into [D*cap] host buffers
+        from kmdiff_tpu.ops.merge_dev import build_triples_packed
+
+        packed = not (want_rows or want_geno or wide)
         n_lanes = 2 * kmers_list[0].shape[1] if kmers_list else 2
         lane_bufs = [np.empty(D * cap, np.uint32) for _ in range(n_lanes)]
-        sample_buf = np.empty(D * cap, np.int32)
+        sample_buf = (
+            np.zeros(D, np.int32) if packed else np.empty(D * cap, np.int32)
+        )
         count_buf = np.empty(D * cap, np.int32)
         for d, per_sample in enumerate(range_slices):
-            lanes_d, sample_d, count_d, _ = build_triples(
-                [km[a:b] for km, (a, b) in zip(kmers_list, per_sample)],
-                [ct[a:b] for ct, (a, b) in zip(counts_list, per_sample)],
-                cap,
-            )
+            sub_k = [km[a:b] for km, (a, b) in zip(kmers_list, per_sample)]
+            sub_c = [ct[a:b] for ct, (a, b) in zip(counts_list, per_sample)]
+            if packed:
+                lanes_d, count_d, _ = build_triples_packed(
+                    sub_k, sub_c, cap, self.nb_controls
+                )
+            else:
+                lanes_d, sample_d, count_d, _ = build_triples(sub_k, sub_c, cap)
+                sample_buf[d * cap : (d + 1) * cap] = sample_d
             for i in range(n_lanes):
                 lane_bufs[i][d * cap : (d + 1) * cap] = lanes_d[i]
-            sample_buf[d * cap : (d + 1) * cap] = sample_d
             count_buf[d * cap : (d + 1) * cap] = count_d
 
         geno_rate = getattr(sampler, "rate", 0.0)
@@ -564,7 +588,7 @@ class PartitionProcessor:
         while True:
             step = make_sharded_merge_step(
                 mesh, self.nb_controls, S, n_lanes, max_hits, max_geno,
-                want_geno, want_rows, wide,
+                want_geno, want_rows, wide, packed,
             )
             out = step(
                 lanes_dev,
