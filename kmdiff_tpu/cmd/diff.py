@@ -39,6 +39,15 @@ from kmdiff_tpu.utils.timer import Timer
 
 def _make_accumulators(opt: DiffOptions, nb_partitions: int, kmer_size: int,
                        part_dir: str, read: bool, nb_samples: int = 0):
+    if opt.in_memory and not read:
+        # -m/--in-memory: keep significant k-mers in RAM, no spill files.
+        # The reference PARSES this flag but never acts on it (diff.hpp
+        # creates FileAccumulators unconditionally); here it works as
+        # documented. Resume needs spills, so it is unavailable in this
+        # mode (nothing to probe on rerun).
+        from kmdiff_tpu.io.accumulator import VectorAccumulator
+
+        return [VectorAccumulator() for _ in range(nb_partitions)]
     return [
         FileAccumulator(
             os.path.join(part_dir, f"p{i}_uncorrected"),

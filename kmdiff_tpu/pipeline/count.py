@@ -177,7 +177,8 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             if U <= max_distinct:
                 break
             max_distinct = 1 << max(U - 1, 1).bit_length()
-        return _fetch_counted(U, max_distinct, part_d, lanes_d, counts)
+        return _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
+                              nb_partitions=nb_partitions)
 
     blocks = []
     for codes in all_codes:
@@ -207,13 +208,18 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             break
         max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
 
-    return _fetch_counted(U, max_distinct, part_d, lanes_d, counts)
+    return _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
+                              nb_partitions=nb_partitions)
 
 
-def _fetch_counted(U, max_distinct, part_d, lanes_d, counts):
+def _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
+                   nb_partitions=None):
     """D2H discipline for slow uplinks: slice device-side at pow2
     granularity (bounded compiled-shape set) so at most 2U rows leave,
-    then fetch chunk-parallel (utils.transfer)."""
+    then fetch chunk-parallel (utils.transfer). When nb_partitions is
+    given, partition ids are RECOMPUTED on host from the fetched k-mers
+    (identical hash chain) instead of transferred — 25% less D2H for
+    one-word k-mers."""
     from kmdiff_tpu.ops.codec import lanes_to_words
     from kmdiff_tpu.utils.transfer import device_fetch
 
@@ -223,7 +229,11 @@ def _fetch_counted(U, max_distinct, part_d, lanes_d, counts):
         return device_fetch(a[:u_pad])[:U]
 
     kmers = lanes_to_words(tuple(fetch(l) for l in lanes_d))
-    return kmers, fetch(part_d), fetch(counts)
+    if nb_partitions is not None:
+        parts = host_partition_ids(kmers, nb_partitions)
+    else:
+        parts = fetch(part_d)
+    return kmers, parts, fetch(counts)
 
 
 def count_sample_device_mesh(

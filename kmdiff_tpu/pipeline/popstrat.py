@@ -436,13 +436,18 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
     nb_samples = opt.nb_controls + opt.nb_cases
     pop_accs = []
     for i, acc in enumerate(accumulators):
-        pacc = FileAccumulator(
-            os.path.join(part_dir, f"p{i}_popstrat_uncorrected"),
-            config.kmer_size,
-            read=False,
-            delete_on_destroy=not opt.keep_tmp,
-            nb_samples=nb_samples,
-        )
+        if opt.in_memory:
+            from kmdiff_tpu.io.accumulator import VectorAccumulator
+
+            pacc = VectorAccumulator()
+        else:
+            pacc = FileAccumulator(
+                os.path.join(part_dir, f"p{i}_popstrat_uncorrected"),
+                config.kmer_size,
+                read=False,
+                delete_on_destroy=not opt.keep_tmp,
+                nb_samples=nb_samples,
+            )
         for block in acc.blocks():
             corr.correct_block(block)
             pacc.push_block(block)

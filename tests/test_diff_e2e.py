@@ -266,3 +266,22 @@ def test_cli_warmup():
     from kmdiff_tpu.cli import main
 
     assert main(["warmup", "-1", "2", "-2", "2", "-k", "21", "--pop"]) == 0
+
+
+def test_diff_in_memory(fixture_dir, tmp_path):
+    """-m/--in-memory: identical outputs with zero spill files (the
+    reference parses the flag but never uses it, diff.hpp:103-107; here
+    it works)."""
+    r1 = main_diff(_opts(fixture_dir, tmp_path / "ref",
+                         threshold=0.5, cutoff=1.0,
+                         correction=CorrectionType.NOTHING))
+    r2 = main_diff(_opts(fixture_dir, tmp_path / "mem",
+                         threshold=0.5, cutoff=1.0,
+                         correction=CorrectionType.NOTHING, in_memory=True))
+    assert r1 == r2
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "mem" / name).read_bytes() == (
+            tmp_path / "ref" / name
+        ).read_bytes()
+    # no spill files were ever written in -m mode
+    assert not [f for f in os.listdir(tmp_path / "mem" / "partitions")]
