@@ -375,12 +375,17 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
         shutil.copyfile(opt.fof, os.path.join(run_dir, "kmtricks.fof"))
 
     def one_sample(i: int):
+        import time as _time
+
         entry = fof.entries[i]
         paths = [
             p if os.path.isabs(p) else os.path.join(fof_dir, p)
             for p in entry.paths
         ]
+        t0 = _time.perf_counter()
         kmers, parts, counts = count_sample(paths, opt.kmer_size, nb_partitions)
+        t_count = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
 
         # histogram BEFORE hard-min: totals subtract low-abundance mass
         # downstream exactly like the reference
@@ -412,8 +417,10 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
                 count_bytes=cbytes,
             )
         logger.info(
-            "[%s] %d distinct k-mers (%d after hard-min=%d).",
+            "[%s] %d distinct k-mers (%d after hard-min=%d; count+fetch "
+            "%.1fs, hist+spill %.1fs).",
             entry.id, len(counts), len(counts_f), hard_min,
+            t_count, _time.perf_counter() - t0,
         )
         return len(counts_f)
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import dataclasses
 import threading
+import time
 
 import numpy as np
 
@@ -107,6 +108,22 @@ class PartitionResult:
     sign_cases: int
 
 
+class _Phases(threading.local):
+    """Per-thread stage-time accumulator; read back at partition end for
+    debug-level phase logs (decode / build / device / fetch seconds).
+    Device time includes dispatch + the honest result read."""
+
+    def __init__(self):
+        self.t = {}
+
+    def add(self, key, dt):
+        self.t[key] = self.t.get(key, 0.0) + dt
+
+    def drain(self):
+        out, self.t = self.t, {}
+        return out
+
+
 class PartitionProcessor:
     """Runs one partition: load -> union merge -> device filter -> exact
     rescore -> accumulate (reference observer: merge.hpp:68-103)."""
@@ -128,6 +145,7 @@ class PartitionProcessor:
         self.keep_counts = keep_counts  # store survivor count rows (popstrat)
         self.sampler = sampler
         self.save_matrix_path = save_matrix_path
+        self.phases = _Phases()
         self._fast = isinstance(model, PoissonLikelihood)
         if self._fast:
             self.params = LrtParams(
@@ -236,16 +254,20 @@ class PartitionProcessor:
     def process_files(
         self, partition: int, paths: list[str], acc: IAccumulator
     ) -> PartitionResult:
+        t0 = time.perf_counter()
         kmers_list, counts_list, ksize = [], [], 0
         for path in paths:
             info, kmers, counts = read_kmer_file(path)
             ksize = info.kmer_size
             kmers_list.append(kmers)
             counts_list.append(counts)
+        self.phases.add("decode", time.perf_counter() - t0)
         if self._fast and ksize <= 128:
-            return self._process_device_merge(
+            res = self._process_device_merge(
                 partition, kmers_list, counts_list, acc, ksize
             )
+            self._log_phases(partition)
+            return res
         kmers, counts = merge_sorted_streams(kmers_list, counts_list)
         return self.process_arrays(partition, kmers, counts, acc, ksize)
 
@@ -406,6 +428,16 @@ class PartitionProcessor:
             partition, n_distinct, len(block), n_ctrl, len(block) - n_ctrl
         )
 
+    def _log_phases(self, partition: int) -> None:
+        from kmdiff_tpu.utils.logging import logger
+
+        t = self.phases.drain()
+        if t:
+            logger.debug(
+                "partition %d phases: %s", partition,
+                " ".join(f"{k}={v:.2f}s" for k, v in sorted(t.items())),
+            )
+
     # -- kernel dispatch (single device / mesh) ------------------------------
 
     def _budgets(self, pad_to, want_geno, geno_rate):
@@ -451,6 +483,7 @@ class PartitionProcessor:
             pca_threshold_u32,
         )
 
+        t0 = time.perf_counter()
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
         # fast narrow path: control bit packed into count's sign bit, no
@@ -467,7 +500,9 @@ class PartitionProcessor:
             )
         geno_rate = getattr(sampler, "rate", 0.0)
         max_hits, max_geno = self._budgets(pad_to, want_geno, geno_rate)
+        self.phases.add("build", time.perf_counter() - t0)
 
+        t0 = time.perf_counter()
         S = len(kmers_list)
         while True:
             out = merge_lrt_kernel(
@@ -499,6 +534,8 @@ class PartitionProcessor:
         from kmdiff_tpu.utils.transfer import device_fetch
 
         n_distinct = int(out["n_distinct"])
+        self.phases.add("device", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         s_c, s_k = self._combine_sums(out, slice(0, n_hits), wide)
         hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
         rows_all = (
@@ -507,6 +544,7 @@ class PartitionProcessor:
         geno_rows = (
             device_fetch(out["geno_rows"])[:n_geno] if want_geno else None
         )
+        self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 
     def _dispatch_mesh(
@@ -531,6 +569,7 @@ class PartitionProcessor:
         D = mesh.devices.size
         S = len(kmers_list)
 
+        t0 = time.perf_counter()
         # D ascending key ranges over the concatenated first-word keys
         nonempty = [k[:, 0] for k in kmers_list if len(k)]
         if not nonempty:
@@ -581,7 +620,9 @@ class PartitionProcessor:
 
         geno_rate = getattr(sampler, "rate", 0.0)
         max_hits, max_geno = self._budgets(cap, want_geno, geno_rate)
+        self.phases.add("build", time.perf_counter() - t0)
 
+        t0 = time.perf_counter()
         lanes_dev = tuple(put_row_sharded(mesh, b) for b in lane_bufs)
         sample_dev = put_row_sharded(mesh, sample_buf)
         count_dev = put_row_sharded(mesh, count_buf)
@@ -615,6 +656,8 @@ class PartitionProcessor:
                 )
 
         n_distinct = int(np.asarray(out["totals"])[0])
+        self.phases.add("device", time.perf_counter() - t0)
+        t0 = time.perf_counter()
 
         # gather per-device survivor slots in ascending range order
         from kmdiff_tpu.utils.transfer import device_fetch
@@ -661,6 +704,7 @@ class PartitionProcessor:
         geno_rows = (
             gather("geno_rows", max_geno, n_geno_d) if want_geno else None
         )
+        self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 
 
