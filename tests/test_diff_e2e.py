@@ -285,3 +285,58 @@ def test_diff_in_memory(fixture_dir, tmp_path):
         ).read_bytes()
     # no spill files were ever written in -m mode
     assert not [f for f in os.listdir(tmp_path / "mem" / "partitions")]
+
+
+def test_count_then_diff_k96(tmp_path):
+    """k=96 (3 u64 words, 6 u32 lanes) through the full product path:
+    count + device merge + outputs (the reference's Kmer<96>
+    instantiation, src/main.cc:29-50)."""
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.options import CountOptions
+
+    rng = np.random.default_rng(23)
+    bases = np.array(list("ACGT"))
+    shared = ["".join(rng.choice(bases, 200)) for _ in range(3)]
+    fof_lines = []
+    for sid in ("C1", "C2", "K1", "K2"):
+        fa = tmp_path / f"{sid}.fasta"
+        with open(fa, "w") as f:
+            if sid.startswith("K"):
+                for j, s in enumerate(shared):
+                    for r in range(5):
+                        f.write(f">s{j}_{r}\n{s}\n")
+            for j in range(5):
+                f.write(f">r{j}\n{''.join(rng.choice(bases, 200))}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    (tmp_path / "fof.txt").write_text("\n".join(fof_lines) + "\n")
+
+    run = tmp_path / "run"
+    main_count(CountOptions(fof=str(tmp_path / "fof.txt"), directory=str(run),
+                            kmer_size=96, hard_min=1, nb_partitions=2,
+                            nb_threads=1))
+    res = main_diff(DiffOptions(
+        kmtricks_dir=str(run), output_directory=str(tmp_path / "out"),
+        nb_controls=2, nb_cases=2, threshold=0.8, cutoff=1.0,
+        correction=CorrectionType.NOTHING, nb_threads=1,
+    ))
+    assert res["total_kmers"] > 0
+    assert res["case"] > 0  # case-shared reads must surface
+    case = read_fasta(tmp_path / "out" / "case_kmers.fasta")
+    assert len(case) == res["case"]
+    assert all(len(s) == 96 for _n, s in case)
+    # the shared k-mers really are from the planted case reads
+    planted = set()
+    for s in shared:
+        for i in range(len(s) - 95):
+            planted.add(s[i : i + 96])
+    from kmdiff_tpu.core.kmer import canonical_packed, string_to_packed
+
+    canon_planted = set()
+    for p in planted:
+        canon_planted.add(tuple(canonical_packed(
+            string_to_packed(p)[None, :], 96)[0].tolist()))
+    hit = 0
+    for _n, seq in case:
+        if tuple(string_to_packed(seq).tolist()) in canon_planted:
+            hit += 1
+    assert hit > 0
