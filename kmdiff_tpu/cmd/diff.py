@@ -283,16 +283,18 @@ def main_diff(opt: DiffOptions) -> dict:
 
 def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
     """Multi-process diff over a shared filesystem: partitions round-robin
-    across processes for the merge stage (the dominant cost), a barrier
-    hands the spills to the primary, which runs popstrat + correction and
-    writes the outputs. Resume shortcuts are disabled in this mode (runs
-    are always full). Non-primary processes return after the merge with
-    the global tested counter and zeroed output counts.
+    across processes for BOTH heavy stages — the merge and the popstrat
+    correction — with barriers at the filesystem handoffs; the primary
+    fits the shared null model (PCA + null logistic fit, once) and runs
+    the final aggregation/output. Resume follows the same manifest/spill
+    probing as single-process runs (each process derives the identical
+    redo decision from the shared filesystem state).
 
     This is the multi-host translation of the reference's single-node
-    thread pool over partitions (merge.hpp:237-317): DCN only carries the
-    barrier and the psum'd counters; every bulk byte moves through the
-    shared filesystem exactly like the reference's run dirs."""
+    thread pool over partitions (merge.hpp:237-317, popstrat.hpp:212-238):
+    DCN only carries the barriers and the psum'd counters; every bulk byte
+    moves through the shared filesystem exactly like the reference's run
+    dirs."""
     import jax
 
     from kmdiff_tpu.parallel.distributed import (
@@ -305,61 +307,130 @@ def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
     os.makedirs(opt.output_directory, exist_ok=True)
     part_dir = os.path.join(opt.output_directory, "partitions")
     os.makedirs(part_dir, exist_ok=True)
+    manifest = os.path.join(opt.output_directory, "options.json")
     owned = owned_partitions(config.nb_partitions)
     nb_samples = (opt.nb_controls + opt.nb_cases) if opt.pop_correction else 0
     logger.info("distributed diff: process %d owns partitions %s", pid, owned)
 
-    sampler = None
+    # resume detection: identical inputs (shared manifest + spill probes)
+    # on every process -> identical redo decision, no coordination needed
+    action = 0
+    prev_1 = prev_2 = prev_f = False
+    prev_opt = None
+    if os.path.exists(manifest):
+        prev_opt = load_options(manifest)
+        action = compare_options(opt, prev_opt)
+        prev_1 = partitions_exist("{}/p{}_uncorrected", config.nb_partitions, part_dir)
+        prev_2 = partitions_exist(
+            "{}/p{}_popstrat_uncorrected", config.nb_partitions, part_dir
+        )
+        ext = "kff" if opt.kff else "fasta"
+        prev_f = os.path.exists(
+            os.path.join(opt.output_directory, f"control_kmers.{ext}")
+        ) and os.path.exists(os.path.join(opt.output_directory, f"case_kmers.{ext}"))
+        logger.debug("resume: prev1=%s prev2=%s prevf=%s action=%d",
+                     prev_1, prev_2, prev_f, action)
+
     pop_dir = ""
     if opt.pop_correction:
         pop_dir = os.path.join(opt.output_directory, "popstrat")
         os.makedirs(pop_dir, exist_ok=True)
-        from kmdiff_tpu.pipeline.popstrat import GenoSampler
 
-        sampler = GenoSampler(
-            pop_dir, opt.kmer_pca, opt.seed, opt.nb_controls + opt.nb_cases
+    redo_merge = (not prev_1) or bool(action & REDO_MERGE)
+    if redo_merge:
+        sampler = None
+        if opt.pop_correction:
+            from kmdiff_tpu.pipeline.popstrat import GenoSampler
+
+            sampler = GenoSampler(
+                pop_dir, opt.kmer_pca, opt.seed, opt.nb_controls + opt.nb_cases
+            )
+        accumulators: list = [None] * config.nb_partitions
+        for p in owned:
+            accumulators[p] = FileAccumulator(
+                os.path.join(part_dir, f"p{p}_uncorrected"),
+                config.kmer_size,
+                read=False,
+                delete_on_destroy=False,
+                nb_samples=nb_samples,
+            )
+        opt.total_kmers = do_diff(
+            opt, config, part_dir, accumulators, sampler, owned=owned
         )
-
-    accumulators: list = [None] * config.nb_partitions
-    for p in owned:
-        accumulators[p] = FileAccumulator(
-            os.path.join(part_dir, f"p{p}_uncorrected"),
-            config.kmer_size,
-            read=False,
-            delete_on_destroy=False,
-            nb_samples=nb_samples,
-        )
-
-    opt.total_kmers = do_diff(
-        opt, config, part_dir, accumulators, sampler, owned=owned
-    )
-    if sampler is not None:
-        sampler.close_parts()
-    for p in owned:
-        accumulators[p].destroy()  # close; spills stay for the primary
+        if sampler is not None:
+            sampler.close_parts()
+        for p in owned:
+            accumulators[p].destroy()  # close; spills stay on the shared fs
+    else:
+        opt.total_kmers = prev_opt.total_kmers
+        logger.info("process %d: merge stage resumed from spills.", pid)
 
     barrier("merge_done")
+    if is_primary():
+        dump_options(opt, manifest)
+
+    redo_pop = opt.pop_correction and (
+        (not prev_2) or bool(action & REDO_POP) or redo_merge
+    )
+    if redo_pop:
+        from kmdiff_tpu.pipeline.popstrat import (
+            GenoSampler,
+            correct_partition,
+            fit_corrector,
+            load_corrector,
+        )
+
+        corr = None
+        if is_primary():
+            if redo_merge:
+                GenoSampler.assemble_parts(
+                    pop_dir, config.nb_partitions, opt.nb_controls + opt.nb_cases
+                )
+            corr = fit_corrector(opt, config, pop_dir)
+        barrier("pop_null_ready")
+        if corr is None:
+            corr = load_corrector(opt, config, pop_dir)
+        for p in owned:
+            acc = FileAccumulator(
+                os.path.join(part_dir, f"p{p}_uncorrected"),
+                config.kmer_size,
+                read=True,
+                delete_on_destroy=False,
+                nb_samples=nb_samples,
+            )
+            pacc = FileAccumulator(
+                os.path.join(part_dir, f"p{p}_popstrat_uncorrected"),
+                config.kmer_size,
+                read=False,
+                delete_on_destroy=False,
+                nb_samples=nb_samples,
+            )
+            correct_partition(corr, acc, pacc)
+        logger.info("process %d: popstrat corrected partitions %s.", pid, owned)
+        barrier("popstrat_done")
+
     if not is_primary():
-        logger.info("process %d merge done in %s.", pid, whole.formatted())
+        logger.info("process %d done in %s.", pid, whole.formatted())
         return {"total_kmers": opt.total_kmers, "control": 0, "case": 0,
                 "primary": False}
 
-    manifest = os.path.join(opt.output_directory, "options.json")
-    dump_options(opt, manifest)
-
-    accumulators = _make_accumulators(
-        opt, config.nb_partitions, config.kmer_size, part_dir,
-        read=True, nb_samples=nb_samples,
+    spill_fmt = (
+        "p{}_popstrat_uncorrected" if opt.pop_correction else "p{}_uncorrected"
     )
-    if opt.pop_correction:
-        from kmdiff_tpu.pipeline.popstrat import GenoSampler, do_pop
-
-        GenoSampler.assemble_parts(
-            pop_dir, config.nb_partitions, opt.nb_controls + opt.nb_cases
+    accumulators = [
+        FileAccumulator(
+            os.path.join(part_dir, spill_fmt.format(p)),
+            config.kmer_size,
+            read=True,
+            delete_on_destroy=False,
+            nb_samples=nb_samples,
         )
-        accumulators = do_pop(opt, config, accumulators, pop_dir, part_dir)
+        for p in range(config.nb_partitions)
+    ]
 
-    counts = do_correction(opt, config, accumulators, opt.total_kmers)
+    counts = (0, 0)
+    if (not prev_f or action > 0) or redo_merge or redo_pop:
+        counts = do_correction(opt, config, accumulators, opt.total_kmers)
     for acc in accumulators:
         acc.destroy()
     if not opt.keep_tmp:

@@ -386,14 +386,17 @@ class PopStratCorrector:
         block.pvalues[:] = chi2_sf1(llr)
 
 
-def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
-    """Full popstrat stage (reference: diff.hpp:166-225 do_pop). Returns the
-    replacement accumulators holding corrected KmerSigns."""
+#: persisted null-fit artifact consumed by multi-process workers
+NULL_FIT_FILE = "null_fit.npz"
+
+
+def fit_corrector(opt, config, pop_dir: str) -> PopStratCorrector:
+    """PCA over the sampled geno matrix + the one-time null logistic fit
+    (reference: diff.hpp:166-218, src/popstrat.cpp:228-325). Writes every
+    Eigenstrat artifact plus `null_fit.npz` so other processes of a
+    distributed run can `load_corrector` instead of re-fitting."""
     from kmdiff_tpu.io.kmtricks import get_total_kmer, read_fof
     from kmdiff_tpu.ops.pca import eigenstrat_pca
-
-    timer = Timer()
-    logger.info("Population stratification correction...")
 
     fof = read_fof(opt.kmtricks_dir)
     gender = load_gender_file(opt.gender)
@@ -418,11 +421,7 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
     logger.info("PCA: %d sampled k-mers, top eigenvalues %s.",
                 len(geno), np.round(evals[: opt.npc], 4).tolist())
 
-    corr = PopStratCorrector(
-        opt.nb_controls, opt.nb_cases, total_controls, total_cases, opt.npc,
-        stand=opt.stand, irls=opt.irls, learning_rate=opt.learning_rate,
-        max_iteration=opt.max_iteration, epsilon=opt.epsilon,
-    )
+    corr = _make_corrector(opt, total_controls, total_cases)
     corr.set_Z(Z)
     corr.set_covariates(
         load_covariates_file(opt.covariates, opt.nb_controls + opt.nb_cases)
@@ -432,6 +431,62 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
             np.array([1.0 if gender[e.id] == "M" else 0.0 for e in fof.entries])
         )
     corr.init_global_features()
+
+    np.savez(
+        os.path.join(pop_dir, NULL_FIT_FILE),
+        null_features=corr.null_features,
+        alt_features=corr.alt_features,
+        null_model=corr.null_model,
+        null_loglik=np.float64(corr.null_loglik),
+    )
+    return corr
+
+
+def load_corrector(opt, config, pop_dir: str) -> PopStratCorrector:
+    """Rebuild a ready-to-apply corrector from the primary's persisted
+    null fit — the design matrix and null model load verbatim, so every
+    process corrects with bit-identical numerics regardless of local
+    device differences."""
+    from kmdiff_tpu.io.kmtricks import get_total_kmer
+
+    total_controls, total_cases = get_total_kmer(
+        opt.kmtricks_dir, opt.nb_controls, opt.nb_cases, config.abundance_min
+    )
+    corr = _make_corrector(opt, total_controls, total_cases)
+    with np.load(os.path.join(pop_dir, NULL_FIT_FILE)) as fit:
+        corr.null_features = fit["null_features"]
+        corr.alt_features = fit["alt_features"]
+        corr.null_model = fit["null_model"]
+        corr.null_loglik = float(fit["null_loglik"])
+    return corr
+
+
+def _make_corrector(opt, total_controls, total_cases) -> PopStratCorrector:
+    return PopStratCorrector(
+        opt.nb_controls, opt.nb_cases, total_controls, total_cases, opt.npc,
+        stand=opt.stand, irls=opt.irls, learning_rate=opt.learning_rate,
+        max_iteration=opt.max_iteration, epsilon=opt.epsilon,
+    )
+
+
+def correct_partition(corr: PopStratCorrector, acc, pacc) -> None:
+    """Drain one partition's uncorrected hits through the batched device
+    IRLS into the popstrat accumulator (the per-partition unit of work the
+    reference schedules on its thread pool, popstrat.hpp:212-238)."""
+    for block in acc.blocks():
+        corr.correct_block(block)
+        pacc.push_block(block)
+    pacc.finish()
+    acc.destroy()
+
+
+def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
+    """Full popstrat stage (reference: diff.hpp:166-225 do_pop). Returns the
+    replacement accumulators holding corrected KmerSigns."""
+    timer = Timer()
+    logger.info("Population stratification correction...")
+
+    corr = fit_corrector(opt, config, pop_dir)
 
     nb_samples = opt.nb_controls + opt.nb_cases
     pop_accs = []
@@ -448,11 +503,7 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
                 delete_on_destroy=not opt.keep_tmp,
                 nb_samples=nb_samples,
             )
-        for block in acc.blocks():
-            corr.correct_block(block)
-            pacc.push_block(block)
-        pacc.finish()
-        acc.destroy()
+        correct_partition(corr, acc, pacc)
         pop_accs.append(pacc)
 
     logger.info("Population stratification corrected (%s).", timer.formatted())

@@ -217,3 +217,142 @@ def test_two_process_count_diff_pipeline(tmp_path):
             assert (tmp_path / "run_dist" / rel).read_bytes() == (
                 tmp_path / "run_ref" / rel
             ).read_bytes()
+
+
+_POP_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from kmdiff_tpu.parallel.distributed import init_distributed
+assert init_distributed()
+
+work = os.environ["KMDIFF_TEST_WORK"]
+correction = os.environ["KMDIFF_TEST_CORRECTION"]
+from kmdiff_tpu.cmd.diff import main_diff
+from kmdiff_tpu.cmd.options import DiffOptions
+from kmdiff_tpu.core.corrector import correction_type_from_str
+
+res = main_diff(DiffOptions(
+    kmtricks_dir=os.path.join(work, "run_pop"),
+    output_directory=os.path.join(work, "out_dist_pop"),
+    nb_controls=6, nb_cases=6, threshold=0.2, cutoff=1.0,
+    correction=correction_type_from_str(correction), nb_threads=2,
+    pop_correction=True, kmer_pca=0.05, npc=2, keep_tmp=True,
+))
+print(f"proc {jax.process_index()} RES {res['total_kmers']}", flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("KMDIFF_SKIP_DISTRIBUTED") == "1",
+    reason="distributed smoke test disabled",
+)
+def test_two_process_popstrat_and_resume(tmp_path):
+    """Popstrat across 2 processes: the primary fits PCA + the null model
+    once, each process corrects its owned partitions — outputs are
+    byte-identical to a single-process popstrat run. A second pass with a
+    different corrector then resumes from the shared spills (merge and
+    popstrat both skipped) and still matches single-process output."""
+    import numpy as np
+
+    # stratified cohort: two subpopulations with private background k-mers,
+    # cases enriched in pop B (mirrors tests/test_popstrat.py's fixture) —
+    # gives the popstrat stage real structure and post-correction survivors
+    rng = np.random.default_rng(33)
+    bases = np.array(list("ACGT"))
+
+    def reads(background, private, n=60):
+        seqs = []
+        for _ in range(n):
+            src = private if rng.random() < 0.5 else background
+            seqs.append(src[rng.integers(0, len(src))])
+        return seqs
+
+    shared = ["".join(rng.choice(bases, 60)) for _ in range(30)]
+    pop_a = ["".join(rng.choice(bases, 60)) for _ in range(20)]
+    pop_b = ["".join(rng.choice(bases, 60)) for _ in range(20)]
+    fof_lines = []
+    for i in range(12):
+        is_case = i >= 6
+        in_b = (i % 3 != 0) if is_case else (i % 3 == 0)
+        sid = f"{'CASE' if is_case else 'CONTROL'}{i}"
+        fa = tmp_path / f"{sid}.fasta"
+        with open(fa, "w") as f:
+            for j, s in enumerate(reads(shared, pop_b if in_b else pop_a)):
+                f.write(f">r{j}\n{s}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    (tmp_path / "fof.txt").write_text("\n".join(fof_lines) + "\n")
+
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.diff import main_diff
+    from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+    from kmdiff_tpu.core.corrector import CorrectionType
+
+    main_count(CountOptions(
+        fof=str(tmp_path / "fof.txt"), directory=str(tmp_path / "run_pop"),
+        kmer_size=21, hard_min=1, nb_partitions=5, nb_threads=2,
+        n_devices=1,
+    ))
+
+    # single-process references for both correctors
+    refs = {}
+    for corr_type, out in ((CorrectionType.NOTHING, "out_ref_bonf"),
+                           (CorrectionType.BENJAMINI, "out_ref_bh")):
+        refs[out] = main_diff(DiffOptions(
+            kmtricks_dir=str(tmp_path / "run_pop"),
+            output_directory=str(tmp_path / out),
+            nb_controls=6, nb_cases=6, threshold=0.2, cutoff=1.0,
+            correction=corr_type, nb_threads=2, n_devices=1,
+            pop_correction=True, kmer_pca=0.05, npc=2,
+        ))
+    assert refs["out_ref_bonf"]["control"] + refs["out_ref_bonf"]["case"] > 0
+
+    def run_pair(correction: str) -> list[str]:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                KMDIFF_COORDINATOR=f"127.0.0.1:{port}",
+                KMDIFF_NUM_PROCESSES="2",
+                KMDIFF_PROCESS_ID=str(pid),
+                KMDIFF_NO_JAX_CACHE="1",
+                KMDIFF_TEST_WORK=str(tmp_path),
+                KMDIFF_TEST_CORRECTION=correction,
+                PYTHONPATH="/root/repo",
+            )
+            env.pop("XLA_FLAGS", None)
+            env.pop("KMDIFF_DEVICES", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _POP_WORKER], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+            assert f"RES {refs['out_ref_bonf']['total_kmers']}" in out, out
+        return outs
+
+    outs = run_pair("disabled")
+    assert all("popstrat corrected partitions" in o for o in outs), outs
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_dist_pop" / name).read_bytes() == (
+            tmp_path / "out_ref_bonf" / name
+        ).read_bytes()
+
+    # resume pass: only the corrector changed -> merge + popstrat skipped
+    outs = run_pair("benjamini")
+    assert any("merge stage resumed from spills" in o for o in outs), outs
+    assert not any("popstrat corrected partitions" in o for o in outs), outs
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_dist_pop" / name).read_bytes() == (
+            tmp_path / "out_ref_bh" / name
+        ).read_bytes()
