@@ -11,6 +11,15 @@ S x S Gram matrix with one MXU matmul; the tiny symmetric eigenproblem
 solves on host. Eigenvector signs are fixed deterministically (largest-
 magnitude component positive) — smartpca's signs are arbitrary, and the
 logistic regression downstream is sign-invariant.
+
+Mesh scaling: with the session mesh active (parallel.runtime), Gram
+accumulation row-shards the blocks — each device normalizes and contracts
+its own fixed-size block and the host f64-accumulates the per-device
+partials *in block order*. Because the f32 units of work (full
+[block_rows, S] blocks plus one short tail block) are identical with and
+without the mesh, sharded and single-device runs produce bit-identical
+Gram matrices, keeping the product pipeline's byte-identity guarantee
+across device counts.
 """
 
 from __future__ import annotations
@@ -25,7 +34,8 @@ import numpy as np
 @functools.partial(jax.jit, static_argnames=("is_diploid",))
 def _gram_block(X: jax.Array, is_diploid: bool) -> jax.Array:
     """Row-normalize a [B, S] presence block and return its [S, S] Gram
-    contribution. Rows with p(1-p) == 0 get scale 1 (smartpca behavior)."""
+    contribution. Rows with p(1-p) == 0 get scale 1 (smartpca behavior);
+    all-zero padding rows contribute exactly zero."""
     X = X.astype(jnp.float32)
     mean = jnp.mean(X, axis=1, keepdims=True)
     if is_diploid:
@@ -36,6 +46,23 @@ def _gram_block(X: jax.Array, is_diploid: bool) -> jax.Array:
     scale = jnp.where(var > 0.0, jax.lax.rsqrt(jnp.maximum(var, 1e-30)), 1.0)
     Xn = (X - mean) * scale
     return jnp.dot(Xn.T, Xn, preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _sharded_gram_fn(mesh, is_diploid: bool):
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(X):  # [block_rows, S] shard -> [1, S, S] partial
+        return _gram_block(X, is_diploid)[None]
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(P("rows", None),),
+                  out_specs=P("rows", None, None))
+    )
 
 
 def eigenstrat_pca(
@@ -51,10 +78,44 @@ def eigenstrat_pca(
     n_evec = min(n_evec, S)
     if M == 0:
         return np.zeros((S, n_evec)), np.zeros(n_evec)
+
+    from kmdiff_tpu.parallel.runtime import get_mesh
+
+    mesh = get_mesh()
+    n_dev = mesh.size if mesh is not None else 1
+
+    # the f32 unit of work is one [block_rows, S] block (plus one short
+    # tail block); the mesh path runs the SAME units, n_dev at a time
+    n_full = M // block_rows
     gram = np.zeros((S, S), dtype=np.float64)
-    for lo in range(0, M, block_rows):
-        block = geno[lo : lo + block_rows]
-        gram += np.asarray(_gram_block(jnp.asarray(block), is_diploid),
+    if n_dev > 1 and n_full > 1:
+        # n_dev full blocks per dispatch, one per device; per-device
+        # partials come back unsummed and accumulate on host in block
+        # order; devices past the last live block chew exact-zero filler
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn = _sharded_gram_fn(mesh, is_diploid)
+        sharding = NamedSharding(mesh, P("rows", None))
+        for g0 in range(0, n_full, n_dev):
+            live = min(n_dev, n_full - g0)
+            group = geno[g0 * block_rows: (g0 + live) * block_rows]
+            if live < n_dev:
+                group = np.concatenate([
+                    group,
+                    np.zeros(((n_dev - live) * block_rows, S), geno.dtype),
+                ])
+            stacked = jax.device_put(group, sharding)
+            partials = np.asarray(fn(stacked), dtype=np.float64)
+            for d in range(live):
+                gram += partials[d]
+    else:
+        for lo in range(0, n_full * block_rows, block_rows):
+            block = geno[lo: lo + block_rows]
+            gram += np.asarray(_gram_block(jnp.asarray(block), is_diploid),
+                               dtype=np.float64)
+    if M % block_rows:
+        tail = geno[n_full * block_rows:]
+        gram += np.asarray(_gram_block(jnp.asarray(tail), is_diploid),
                            dtype=np.float64)
 
     evals, evecs = np.linalg.eigh(gram / M)

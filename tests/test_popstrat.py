@@ -148,6 +148,29 @@ def test_pca_empty():
     assert Z.shape == (6, 6)
 
 
+def test_pca_mesh_sharded_bit_identical():
+    """Gram accumulation row-shards over the mesh; because the f32 unit of
+    work (one padded block) is identical with and without the mesh and the
+    host accumulates partials in block order, the sharded PCA must be
+    BIT-identical to the single-device run."""
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+    from kmdiff_tpu.parallel import runtime
+
+    rng = np.random.default_rng(7)
+    geno = (rng.random((1000, 24)) < 0.3).astype(np.uint8)
+    for diploid in (True, False):
+        runtime.configure(1)
+        Z1, e1 = eigenstrat_pca(geno, is_diploid=diploid, block_rows=128)
+        runtime.configure(8)
+        from kmdiff_tpu.parallel.runtime import get_mesh
+
+        assert get_mesh() is not None
+        Z8, e8 = eigenstrat_pca(geno, is_diploid=diploid, block_rows=128)
+        np.testing.assert_array_equal(Z1, Z8)
+        np.testing.assert_array_equal(e1, e8)
+    runtime.configure(None)
+
+
 # -- sampling -----------------------------------------------------------------
 
 def test_sample_mask_deterministic_and_rate():
