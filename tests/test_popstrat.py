@@ -273,6 +273,53 @@ def test_diff_with_pop_correction(stratified_cohort):
     )
 
 
+def test_load_corrector_matches_fit(stratified_cohort, tmp_path):
+    """The persisted null fit (null_fit.npz) rebuilds a corrector whose
+    corrections are bit-identical to the fitting process's — the contract
+    distributed workers rely on."""
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.io.accumulator import KmerSignBlock
+    from kmdiff_tpu.io.kmtricks import read_config
+    from kmdiff_tpu.pipeline.popstrat import fit_corrector, load_corrector
+
+    out, run_dir, nc, nk = stratified_cohort
+    opt = DiffOptions(kmtricks_dir=run_dir, nb_controls=nc, nb_cases=nk, npc=2)
+    config = read_config(run_dir)
+    pop_dir = tmp_path / "pop"
+    pop_dir.mkdir()
+    rng = np.random.default_rng(3)
+    n = nc + nk
+    geno = (rng.random((300, n)) < 0.4).astype(int)
+    with open(pop_dir / "gwas_eigenstratX.geno", "w") as f:
+        for row in geno:
+            f.write("\t".join(map(str, row)) + "\t\n")
+
+    corr_fit = fit_corrector(opt, config, str(pop_dir))
+    corr_load = load_corrector(opt, config, str(pop_dir))
+    np.testing.assert_array_equal(corr_fit.null_features, corr_load.null_features)
+    np.testing.assert_array_equal(corr_fit.null_model, corr_load.null_model)
+    assert corr_fit.null_loglik == corr_load.null_loglik
+
+    def block():
+        B = 37
+        return KmerSignBlock(
+            rng.integers(0, 2**62, (B, 1)).astype(np.uint64),
+            np.full(B, 1e-4),
+            np.ones(B, np.int8),
+            np.zeros(B), np.zeros(B),
+            rng.integers(0, 40, (B, n)).astype(np.float64),
+        )
+
+    rng = np.random.default_rng(11)
+    b1 = block()
+    rng = np.random.default_rng(11)
+    b2 = block()
+    corr_fit.correct_block(b1)
+    corr_load.correct_block(b2)
+    np.testing.assert_array_equal(b1.pvalues, b2.pvalues)
+    assert np.all(b1.pvalues <= 1.0) and np.any(b1.pvalues < 1.0)
+
+
 def test_pop_correction_reduces_structure_hits(stratified_cohort):
     """k-mers private to a subpopulation should lose significance after
     correction (the whole point of the popstrat stage)."""
