@@ -47,10 +47,14 @@ BLOCK_ROWS = 1 << 17
 #: max triples per device-merge dispatch; larger partitions stream through
 #: in k-mer key-range chunks (each chunk is segment-complete because every
 #: sample stream is sorted, so no cross-chunk stitching is needed).
-#: Kept small: uniform ~2M-row chunks hit one compiled shape, bound the
-#: host allocation high-water (first-touch page faults on this class of
-#: rig run at ~10 MB/s), and keep pow2 padding waste tiny.
-MAX_DEVICE_ROWS = 1 << 22
+#: Sizing: uniform pow2 chunks hit a handful of compiled shapes and bound
+#: the host allocation high-water; fewer, larger chunks amortize the
+#: per-dispatch sync round trip (measured on the tunnel rig: warm diff
+#: 70 s at 2^22, 39 s at 2^23, flat at 2^24 — dispatch-overhead-bound
+#: below 8M rows, bandwidth-bound above). Tunable per deployment via
+#: KMDIFF_MAX_DEVICE_ROWS.
+MAX_DEVICE_ROWS = int(__import__("os").environ.get(
+    "KMDIFF_MAX_DEVICE_ROWS", 1 << 23))
 
 
 def merge_sorted_streams(
