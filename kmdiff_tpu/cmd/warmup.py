@@ -24,7 +24,8 @@ from kmdiff_tpu.utils.timer import Timer
 
 def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
                 pop: bool = False, npc: int = 2,
-                pad_buckets: tuple[int, ...] = (1 << 12, 1 << 16, 1 << 21)) -> None:
+                pad_buckets: tuple[int, ...] = (
+                    1 << 12, 1 << 16, 1 << 21, 1 << 22, 1 << 23)) -> None:
     import jax
     import jax.numpy as jnp
 
