@@ -375,7 +375,7 @@ def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
     if redo_pop:
         from kmdiff_tpu.pipeline.popstrat import (
             GenoSampler,
-            correct_partition,
+            correct_partitions_pipelined,
             fit_corrector,
             load_corrector,
         )
@@ -390,6 +390,7 @@ def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
         barrier("pop_null_ready")
         if corr is None:
             corr = load_corrector(opt, config, pop_dir)
+        pairs = []
         for p in owned:
             acc = FileAccumulator(
                 os.path.join(part_dir, f"p{p}_uncorrected"),
@@ -405,7 +406,8 @@ def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
                 delete_on_destroy=False,
                 nb_samples=nb_samples,
             )
-            correct_partition(corr, acc, pacc)
+            pairs.append((acc, pacc))
+        correct_partitions_pipelined(corr, pairs)
         logger.info("process %d: popstrat corrected partitions %s.", pid, owned)
         barrier("popstrat_done")
 

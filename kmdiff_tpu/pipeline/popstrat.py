@@ -480,6 +480,67 @@ def correct_partition(corr: PopStratCorrector, acc, pacc) -> None:
     acc.destroy()
 
 
+_PART_DONE = object()
+
+
+def correct_partitions_pipelined(corr: PopStratCorrector, pairs,
+                                 *, depth: int = 2) -> None:
+    """Drain every (acc -> pacc) pair with the spill reads overlapped
+    against the device fits: a prefetch thread LZ4-decodes the next
+    block(s) while the batched IRLS corrects the current one. The
+    reference hides this IO by running one CPU fit-loop per partition
+    thread (popstrat.hpp:212-238); here the device is the parallel axis,
+    so one bounded-queue reader suffices. Output order — and therefore
+    every downstream byte — is identical to the serial drain."""
+    import queue
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _reader():
+        try:
+            for i, (acc, _pacc) in enumerate(pairs):
+                for block in acc.blocks():
+                    _put(q, (i, block), stop)
+                _put(q, (i, _PART_DONE), stop)
+            _put(q, None, stop)
+        except BaseException as e:  # re-raised by the consumer
+            _put(q, e, stop)
+
+    t = threading.Thread(target=_reader, name="popstrat-prefetch", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            i, block = item
+            acc, pacc = pairs[i]
+            if block is _PART_DONE:
+                pacc.finish()
+                acc.destroy()
+            else:
+                corr.correct_block(block)
+                pacc.push_block(block)
+    finally:
+        stop.set()
+        t.join()
+
+
+def _put(q, item, stop: threading.Event) -> None:
+    """Bounded put that gives up when the consumer died."""
+    import queue
+
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return
+        except queue.Full:
+            continue
+
+
 def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
     """Full popstrat stage (reference: diff.hpp:166-225 do_pop). Returns the
     replacement accumulators holding corrected KmerSigns."""
@@ -490,7 +551,7 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
 
     nb_samples = opt.nb_controls + opt.nb_cases
     pop_accs = []
-    for i, acc in enumerate(accumulators):
+    for i in range(len(accumulators)):
         if opt.in_memory:
             from kmdiff_tpu.io.accumulator import VectorAccumulator
 
@@ -503,8 +564,8 @@ def do_pop(opt, config, accumulators, pop_dir: str, part_dir: str):
                 delete_on_destroy=not opt.keep_tmp,
                 nb_samples=nb_samples,
             )
-        correct_partition(corr, acc, pacc)
         pop_accs.append(pacc)
+    correct_partitions_pipelined(corr, list(zip(accumulators, pop_accs)))
 
     logger.info("Population stratification corrected (%s).", timer.formatted())
     return pop_accs

@@ -446,3 +446,68 @@ def test_irls_matches_sklearn():
                                     max_iter=500, tol=1e-10)
     lr.fit(X, y)
     np.testing.assert_allclose(w_ours, lr.coef_[0], rtol=5e-3, atol=5e-3)
+
+
+def test_pipelined_drain_matches_serial(stratified_cohort, tmp_path):
+    """correct_partitions_pipelined (prefetch-thread overlap of spill IO
+    with the device IRLS) must produce byte-identical popstrat spills to
+    the serial correct_partition drain."""
+    from kmdiff_tpu.cmd.options import DiffOptions
+    from kmdiff_tpu.io.accumulator import FileAccumulator, KmerSignBlock
+    from kmdiff_tpu.io.kmtricks import read_config
+    from kmdiff_tpu.pipeline.popstrat import (
+        correct_partition,
+        correct_partitions_pipelined,
+        fit_corrector,
+    )
+
+    out, run_dir, nc, nk = stratified_cohort
+    opt = DiffOptions(kmtricks_dir=run_dir, nb_controls=nc, nb_cases=nk, npc=2)
+    config = read_config(run_dir)
+    pop_dir = tmp_path / "pop"
+    pop_dir.mkdir()
+    rng = np.random.default_rng(5)
+    n = nc + nk
+    geno = (rng.random((200, n)) < 0.4).astype(int)
+    with open(pop_dir / "gwas_eigenstratX.geno", "w") as f:
+        for row in geno:
+            f.write("\t".join(map(str, row)) + "\t\n")
+    corr = fit_corrector(opt, config, str(pop_dir))
+
+    def write_input(path, n_blocks, seed):
+        acc = FileAccumulator(path, config.kmer_size, read=False,
+                              delete_on_destroy=False, nb_samples=n)
+        r = np.random.default_rng(seed)
+        for _ in range(n_blocks):
+            B = int(r.integers(5, 60))
+            acc.push_block(KmerSignBlock(
+                r.integers(0, 2**62, (B, 1)).astype(np.uint64),
+                np.full(B, 1e-4),
+                np.ones(B, np.int8),
+                np.zeros(B), np.zeros(B),
+                r.integers(0, 40, (B, n)).astype(np.float64),
+            ))
+        acc.finish()
+
+    def run(mode):
+        d = tmp_path / mode
+        d.mkdir()
+        pairs = []
+        for p in range(3):
+            src = str(d / f"p{p}_uncorrected")
+            write_input(src, n_blocks=p + 1, seed=100 + p)
+            acc = FileAccumulator(src, config.kmer_size, read=True,
+                                  delete_on_destroy=False, nb_samples=n)
+            pacc = FileAccumulator(str(d / f"p{p}_pop"), config.kmer_size,
+                                   read=False, delete_on_destroy=False,
+                                   nb_samples=n)
+            pairs.append((acc, pacc))
+        if mode == "serial":
+            for acc, pacc in pairs:
+                correct_partition(corr, acc, pacc)
+        else:
+            correct_partitions_pipelined(corr, pairs)
+        return [open(d / f"p{p}_pop", "rb").read() for p in range(3)]
+
+    for a, b in zip(run("serial"), run("pipelined")):
+        assert a == b and len(a) > 0
