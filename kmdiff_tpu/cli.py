@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--minimizer-size", type=int, default=10, help="minimizer size."
     )
     cp.add_argument(
+        "--repartition-type", type=_range_checker(0, 1, int), default=0,
+        help="minimizer repartition, 0=unordered, 1=ordered (accepted for "
+             "reference-script compatibility; the hash repartition here is "
+             "order-free either way).",
+    )
+    cp.add_argument(
         "-p", "--nb-partitions", type=int, default=0,
         help="number of partitions (0 = auto).",
     )
@@ -101,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
     # ---- diff (reference: src/cli.cpp diff_cli) ------------------------------
     dp = sub.add_parser("diff", help="differential k-mer analysis.")
     dp.add_argument(
-        "--km-run-dir", required=True,
+        "-d", "--km-run-dir", "--km-run", required=True, dest="km_run_dir",
         help="kmtricks run directory (or kmdiff-tpu count output).",
     )
     dp.add_argument("-o", "--output-dir", default="./kmdiff_output")
@@ -126,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output significant k-mers in kff format.")
     dp.add_argument("-m", "--in-memory", action="store_true",
                     help="in-memory correction.")
+    dp.add_argument("-r", "--cpr", action="store_true",
+                    help="compress intermediate files (accepted for "
+                         "reference-script compatibility; spills are always "
+                         "LZ4-compressed here, as the reference's are — its "
+                         "--cpr flag is parsed but never consumed, "
+                         "diff_opt.hpp:16).")
     dp.add_argument("--keep-tmp", action="store_true", help="keep tmp files.")
     dp.add_argument("--save-sk", action="store_true",
                     help="build the matrix of significant k-mers.")
@@ -303,6 +315,7 @@ def _dispatch(args) -> int:
             hard_min=args.hard_min,
             minimizer_type=args.minimizer_type,
             minimizer_size=args.minimizer_size,
+            repartition_type=args.repartition_type,
             nb_partitions=args.nb_partitions,
             nb_threads=args.threads,
             n_devices=args.devices,
