@@ -221,12 +221,10 @@ def _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
     (identical hash chain) instead of transferred — 25% less D2H for
     one-word k-mers."""
     from kmdiff_tpu.ops.codec import lanes_to_words
-    from kmdiff_tpu.utils.transfer import device_fetch
-
-    u_pad = min(max_distinct, 1 << max(10, max(U - 1, 1).bit_length()))
+    from kmdiff_tpu.utils.transfer import fetch_prefix
 
     def fetch(a):
-        return device_fetch(a[:u_pad])[:U]
+        return fetch_prefix(a, U)
 
     kmers = lanes_to_words(tuple(fetch(l) for l in lanes_d))
     if nb_partitions is not None:
@@ -298,22 +296,31 @@ def count_sample_device_mesh(
 
     # gather per-device compacted results, then group by partition: each
     # partition is wholly owned by one device, so a stable sort on the
-    # partition id alone preserves the per-device (part, kmer) order
-    from kmdiff_tpu.utils.transfer import device_fetch
+    # partition id alone preserves the per-device (part, kmer) order.
+    # Per-shard prefix fetches (the slot region [d*max_distinct, ...) IS
+    # device d's shard) move only distinct-sized bytes off each device.
+    from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
 
     L = n_lanes(k)
-    part_np = device_fetch(part_d)
-    lanes_np = [device_fetch(l) for l in lanes_d]
-    counts_np = device_fetch(counts_d)
-    segs = [
-        slice(d * max_distinct, d * max_distinct + int(n_dist[d]))
-        for d in range(D)
-    ]
-    part_all = np.concatenate([part_np[s] for s in segs])
-    counts_all = np.concatenate([counts_np[s] for s in segs])
-    lanes_all = tuple(
-        np.concatenate([ln[s] for s in segs]) for ln in lanes_np
-    )
+
+    def gather(arr):
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        if len(shards) == D:
+            return np.concatenate(
+                [fetch_prefix(shards[d].data, int(n_dist[d]))
+                 for d in range(D)]
+            )
+        full = device_fetch(arr)
+        return np.concatenate(
+            [full[d * max_distinct : d * max_distinct + int(n_dist[d])]
+             for d in range(D)]
+        )
+
+    part_all = gather(part_d)
+    counts_all = gather(counts_d)
+    lanes_all = tuple(gather(ln) for ln in lanes_d)
     order = np.argsort(part_all, kind="stable")
     kmers = lanes_to_words(tuple(ln[order] for ln in lanes_all))
     return kmers, part_all[order], counts_all[order]

@@ -457,21 +457,24 @@ class PartitionProcessor:
         )
         return max_hits, max_geno
 
-    def _combine_sums(self, out, sl, wide):
+    def _combine_sums(self, out, n_hits, wide):
         """Device sum outputs -> exact int64 (recombining the
-        16-bit-split halves on the wide path)."""
+        16-bit-split halves on the wide path). Only the survivor prefix
+        (pow2-bucketed) leaves the device."""
+        from kmdiff_tpu.utils.transfer import fetch_prefix
+
         if wide:
             s_c = (
-                np.asarray(out["hit_sc_hi"])[sl].astype(np.int64) * 65536
-                + np.asarray(out["hit_sc_lo"])[sl]
+                fetch_prefix(out["hit_sc_hi"], n_hits).astype(np.int64) * 65536
+                + fetch_prefix(out["hit_sc_lo"], n_hits)
             )
             s_k = (
-                np.asarray(out["hit_sk_hi"])[sl].astype(np.int64) * 65536
-                + np.asarray(out["hit_sk_lo"])[sl]
+                fetch_prefix(out["hit_sk_hi"], n_hits).astype(np.int64) * 65536
+                + fetch_prefix(out["hit_sk_lo"], n_hits)
             )
         else:
-            s_c = np.asarray(out["hit_sc"])[sl].astype(np.int64)
-            s_k = np.asarray(out["hit_sk"])[sl].astype(np.int64)
+            s_c = fetch_prefix(out["hit_sc"], n_hits).astype(np.int64)
+            s_k = fetch_prefix(out["hit_sk"], n_hits).astype(np.int64)
         return s_c, s_k
 
     def _dispatch_single(
@@ -535,18 +538,18 @@ class PartitionProcessor:
             if want_geno:
                 max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
 
-        from kmdiff_tpu.utils.transfer import device_fetch
+        from kmdiff_tpu.utils.transfer import fetch_prefix
 
         n_distinct = int(out["n_distinct"])
         self.phases.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        s_c, s_k = self._combine_sums(out, slice(0, n_hits), wide)
-        hit_lanes = tuple(np.asarray(l)[:n_hits] for l in out["hit_lanes"])
+        s_c, s_k = self._combine_sums(out, n_hits, wide)
+        hit_lanes = tuple(fetch_prefix(l, n_hits) for l in out["hit_lanes"])
         rows_all = (
-            device_fetch(out["hit_rows"])[:n_hits] if want_rows else None
+            fetch_prefix(out["hit_rows"], n_hits) if want_rows else None
         )
         geno_rows = (
-            device_fetch(out["geno_rows"])[:n_geno] if want_geno else None
+            fetch_prefix(out["geno_rows"], n_geno) if want_geno else None
         )
         self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
@@ -663,15 +666,27 @@ class PartitionProcessor:
         self.phases.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
 
-        # gather per-device survivor slots in ascending range order
-        from kmdiff_tpu.utils.transfer import device_fetch
+        # gather per-device survivor slots in ascending range order. Each
+        # slot region [d*budget, (d+1)*budget) is exactly device d's shard,
+        # so per-shard prefix fetches move only survivor-sized (pow2-
+        # bucketed) bytes — no cross-device gather, no full-pad D2H.
+        from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
 
-        def gather(key, budget, counts_per_dev, extra_dim=False):
-            arr = device_fetch(out[key])
-            parts = [
-                arr[d * budget : d * budget + int(counts_per_dev[d])]
-                for d in range(D)
-            ]
+        def gather(arr, budget, counts_per_dev):
+            shards = sorted(
+                arr.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            if len(shards) == D:
+                parts = [
+                    fetch_prefix(shards[d].data, int(counts_per_dev[d]))
+                    for d in range(D)
+                ]
+            else:  # unexpected layout (e.g. replicated): plain fetch
+                full = device_fetch(arr)
+                parts = [
+                    full[d * budget : d * budget + int(counts_per_dev[d])]
+                    for d in range(D)
+                ]
             return np.concatenate(parts, axis=0)
 
         sums_np = {}
@@ -681,7 +696,7 @@ class PartitionProcessor:
             else ("hit_sc", "hit_sk")
         )
         for key in sum_keys:
-            sums_np[key] = gather(key, max_hits, n_hits_d)
+            sums_np[key] = gather(out[key], max_hits, n_hits_d)
         if wide:
             s_c = sums_np["hit_sc_hi"].astype(np.int64) * 65536 + sums_np[
                 "hit_sc_lo"
@@ -692,21 +707,15 @@ class PartitionProcessor:
         else:
             s_c = sums_np["hit_sc"].astype(np.int64)
             s_k = sums_np["hit_sk"].astype(np.int64)
-        hit_lanes_all = np.asarray(out["hit_lanes"])  # [L, D*max_hits]
         hit_lanes = tuple(
-            np.concatenate(
-                [
-                    hit_lanes_all[i, d * max_hits : d * max_hits + int(n_hits_d[d])]
-                    for d in range(D)
-                ]
-            )
+            gather(out["hit_lanes"][i], max_hits, n_hits_d)
             for i in range(n_lanes)
         )
         rows_all = (
-            gather("hit_rows", max_hits, n_hits_d) if want_rows else None
+            gather(out["hit_rows"], max_hits, n_hits_d) if want_rows else None
         )
         geno_rows = (
-            gather("geno_rows", max_geno, n_geno_d) if want_geno else None
+            gather(out["geno_rows"], max_geno, n_geno_d) if want_geno else None
         )
         self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows

@@ -32,3 +32,21 @@ def device_fetch(arr) -> np.ndarray:
     with cf.ThreadPoolExecutor(min(_THREADS, len(slices))) as pool:
         parts = list(pool.map(np.asarray, slices))
     return np.concatenate(parts, axis=0)
+
+
+def fetch_prefix(arr, n: int, min_bucket: int = 1 << 10) -> np.ndarray:
+    """Fetch the first `n` rows of a (possibly padded) device array.
+
+    The array is sliced DEVICE-side to the pow2 bucket >= n first (bounded
+    compiled-shape set, at most 2n rows cross the link), then fetched
+    chunk-parallel. This is the D2H discipline every padded kernel output
+    must use on slow uplinks: fetching the full pad via np.asarray moves
+    pad_size/row-count more bytes over a single stream (measured here:
+    ~5 MB/s vs ~30 MB/s chunked — the difference between seconds and
+    minutes per partition at realistic hit rates)."""
+    n = int(n)
+    total = arr.shape[0]
+    cap = min(total, max(min_bucket, 1 << max(n - 1, 1).bit_length()))
+    if cap < total:
+        arr = arr[:cap]
+    return device_fetch(arr)[:n]
