@@ -47,7 +47,34 @@ def _setup_jax_cache() -> None:
         pass
 
 
+def _tune_host_allocator() -> None:
+    """Keep large numpy buffers on the heap instead of per-allocation mmap.
+
+    glibc serves allocations above M_MMAP_THRESHOLD (<= 32 MB dynamic max)
+    straight from mmap and unmaps them on free, so every large temporary
+    repays first-touch page faults. On sandboxed/virtualized hosts faults
+    can run at ~10-20 MB/s (measured here: a 37 MB astype temp cost 2-5 s
+    per call; with the heap serving it, 10 ms after the one-time
+    high-water fault-in). Raising the threshold makes the host pipeline's
+    big temporaries (decode buffers, triple staging, fetch concatenates)
+    reuse heap pages. Opt out with KMDIFF_NO_MALLOC_TUNE=1."""
+    import os
+
+    if os.environ.get("KMDIFF_NO_MALLOC_TUNE") == "1":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:  # glibc-specific tuning, never fatal
+        pass
+
+
 _setup_jax_cache()
+_tune_host_allocator()
 
 from kmdiff_tpu.utils.exceptions import (  # noqa: F401
     KmdiffError,

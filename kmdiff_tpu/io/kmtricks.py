@@ -322,17 +322,14 @@ def hist_from_counts(
     counts: np.ndarray, idx: int, kmer_size: int, lower: int = 1, upper: int = 255
 ) -> Histogram:
     """Build the per-sample abundance histogram from distinct-k-mer counts."""
-    counts = counts.astype(np.uint64)
     nbins = upper - lower + 1
-    clipped = np.clip(counts, lower, upper) - lower
+    # no full-width temporaries beyond one int64 selection: in-range rows
+    # bincount directly (their clipped bin is just value - lower)
     inside = (counts >= lower) & (counts <= upper)
-    uvec = np.bincount(clipped[inside].astype(np.int64), minlength=nbins).astype(
-        np.uint64
-    )
+    sel = counts[inside].astype(np.int64) - lower
+    uvec = np.bincount(sel, minlength=nbins).astype(np.uint64)
     tvec = np.bincount(
-        clipped[inside].astype(np.int64),
-        weights=counts[inside].astype(np.float64),
-        minlength=nbins,
+        sel, weights=(sel + lower).astype(np.float64), minlength=nbins
     ).astype(np.uint64)
     over = counts > upper
     return Histogram(
