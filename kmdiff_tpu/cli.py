@@ -142,9 +142,13 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--save-sk", action="store_true",
                     help="build the matrix of significant k-mers.")
     # custom model
-    dp.add_argument("--model", default="", dest="model_lib_path",
-                    help="custom model plugin (py file or module[:factory]).")
-    dp.add_argument("--model-config", default="", help="model configuration string.")
+    dp.add_argument("--model", "--cmodel", default="", dest="model_lib_path",
+                    help="custom model plugin (py file or module[:factory]; "
+                         "--cmodel is the reference's spelling, cli.cpp:261).")
+    dp.add_argument("--model-config", "--config", default="",
+                    dest="model_config",
+                    help="model configuration string (--config is the "
+                         "reference's spelling, cli.cpp:267).")
     # population stratification
     dp.add_argument("--pop-correction", action="store_true",
                     help="apply population stratification correction.")

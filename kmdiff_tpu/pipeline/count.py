@@ -43,8 +43,15 @@ from kmdiff_tpu.io.kmtricks import (
 from kmdiff_tpu.utils.exceptions import InputError
 from kmdiff_tpu.utils.logging import logger
 
-#: device block length (codes); windows per block = BLOCK - k + 1
-BLOCK = 1 << 22
+#: device block length (codes); windows per block = BLOCK - k + 1.
+#: Samples whose whole code stream fits one block ride the single fused
+#: extraction+sort+RLE dispatch. Tunable via KMDIFF_COUNT_BLOCK: raising
+#: it saves a handful of dispatch round trips per sample but was measured
+#: warm-neutral on the tunnel rig (103 s vs 107 s for a 20x8.4 Mbp
+#: cohort at 1<<24) while the one-time compile of the bigger fused-sort
+#: shape stalled the remote-compile service ~18 min — the per-sample D2H
+#: of distinct k-mers, not dispatch count, is the counting floor there.
+BLOCK = int(os.environ.get("KMDIFF_COUNT_BLOCK", 1 << 22))
 
 _HASH_SEED = np.uint32(0x9E3779B9)
 
