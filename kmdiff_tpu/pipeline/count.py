@@ -238,7 +238,30 @@ def _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
         parts = host_partition_ids(kmers, nb_partitions)
     else:
         parts = fetch(part_d)
-    return kmers, parts, fetch(counts)
+    return kmers, parts, _fetch_counts_narrow(counts, U)
+
+
+def _fetch_counts_narrow(counts_d, U) -> np.ndarray:
+    """Fetch distinct-k-mer counts at the narrowest dtype their max fits
+    (the same u8/u16/u32 ladder the count files use, io.kmtricks.
+    count_dtype_for) — counts are the second-largest slice of counting
+    D2H and almost always fit a byte. Pad slots are zero, so the device
+    max is the true max; the width check precedes the cast, so no value
+    can wrap. Host widens back to the uint32 contract."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.utils.transfer import fetch_prefix
+
+    mx = int(counts_d.max()) if U else 0
+    if mx < (1 << 8):
+        narrow = jnp.uint8
+    elif mx < (1 << 16):
+        narrow = jnp.uint16
+    else:
+        narrow = None
+    if narrow is not None:
+        return fetch_prefix(counts_d.astype(narrow), U).astype(np.uint32)
+    return fetch_prefix(counts_d, U).astype(np.uint32, copy=False)
 
 
 def count_sample_device_mesh(
