@@ -170,9 +170,30 @@ def measure_device_lrt() -> float:
     dt = _timed_chain(step, iters)
     v = B / dt
     dev = jax.devices()[0]
-    log(f"[bench] device {dev.platform}:{dev.id} LRT filter: "
+    log(f"[bench] device {dev.platform}:{dev.id} LRT filter (lax): "
         f"{v:.3e} kmer/s ({B} rows x {S} samples, {iters} chained iters, "
         f"{dt*1e3:.2f} ms/iter)")
+
+    # same filter through the hand-tiled Pallas kernel (TPU backends): the
+    # product's run_filter picks it at these shapes, so record the
+    # lax-vs-pallas parity explicitly (bench/README.md)
+    from kmdiff_tpu.ops.lrt_pallas import TILE_B, lrt_filter_block_pallas, use_pallas
+
+    if use_pallas() and B % TILE_B == 0:
+        def step_p(carry):
+            keep, lr, s_c, s_k = lrt_filter_block_pallas(
+                args[0] + (carry % 2), nb_controls, *args[1:]
+            )
+            return (
+                keep.sum().astype(jnp.int32)
+                + s_c.sum() + s_k.sum()
+                + lr.sum().astype(jnp.int32)
+            )
+
+        dt_p = _timed_chain(step_p, iters)
+        log(f"[bench] device {dev.platform}:{dev.id} LRT filter (pallas): "
+            f"{B/dt_p:.3e} kmer/s ({dt_p*1e3:.2f} ms/iter, "
+            f"{dt/dt_p:.2f}x vs lax)")
     return v
 
 

@@ -118,7 +118,19 @@ def lrt_filter_block_pallas(counts, nb_controls: int, ratio_c, ratio_k,
 
 
 def use_pallas() -> bool:
-    """Pallas path on real TPU backends; lax path (same results) elsewhere."""
+    """Opt-in (KMDIFF_PALLAS=1) routing of run_filter through this kernel
+    on TPU backends.
+
+    Measured at product shapes ([2M, 20] i32, honest host reads) the
+    hand-tiled kernel runs at 0.87x of XLA's fused lax path
+    (bench/README.md; bench.py re-measures both every run), so the
+    compiler's schedule is the default — don't hand-schedule what XLA
+    already fuses. The kernel stays as the pinned-layout reference
+    implementation and for backends/shapes where it wins."""
+    import os
+
+    if os.environ.get("KMDIFF_PALLAS") != "1":
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except RuntimeError:
