@@ -132,6 +132,27 @@ def test_cli_infos(capsys):
     assert "jax" in out
 
 
+def test_cli_reference_flag_spellings():
+    """The reference run-script spellings parse (cli.cpp: --km-run via -d,
+    --cpr, --repartition-type, --cmodel/--config plugin flags)."""
+    from kmdiff_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args([
+        "diff", "--km-run", "rd", "-1", "2", "-2", "2", "-r",
+        "--cmodel", "m.py", "--config", "x=1",
+    ])
+    assert a.km_run_dir == "rd"
+    assert a.model_lib_path == "m.py"
+    assert a.model_config == "x=1"
+    a = p.parse_args(["diff", "-d", "rd", "-1", "1", "-2", "1"])
+    assert a.km_run_dir == "rd"
+    a = p.parse_args([
+        "count", "--file", "f", "--run-dir", "d", "--repartition-type", "1",
+    ])
+    assert a.repartition_type == 1
+
+
 def test_diff_kff_output(fixture_dir, tmp_path):
     from kmdiff_tpu.io.kff import KffReader
 
