@@ -177,9 +177,11 @@ def measure_device_lrt() -> float:
     # same filter through the hand-tiled Pallas kernel (TPU backends): the
     # product's run_filter picks it at these shapes, so record the
     # lax-vs-pallas parity explicitly (bench/README.md)
-    from kmdiff_tpu.ops.lrt_pallas import TILE_B, lrt_filter_block_pallas, use_pallas
+    from kmdiff_tpu.ops.lrt_pallas import TILE_B, lrt_filter_block_pallas
 
-    if use_pallas() and B % TILE_B == 0:
+    # gate on the backend, not use_pallas(): the A/B must run even though
+    # the product routes lax by default
+    if jax.default_backend() not in ("cpu",) and B % TILE_B == 0:
         def step_p(carry):
             keep, lr, s_c, s_k = lrt_filter_block_pallas(
                 args[0] + (carry % 2), nb_controls, *args[1:]
