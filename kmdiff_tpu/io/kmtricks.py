@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from kmdiff_tpu.io.lz4 import Lz4FrameReader, Lz4FrameWriter
+from kmdiff_tpu.io.lz4 import Lz4FrameWriter, frame_read_all
 from kmdiff_tpu.utils.exceptions import ConfigError, FormatError
 from kmdiff_tpu.core.kmer import n_words
 
@@ -201,6 +201,75 @@ class KmerFileInfo:
     compressed: bool
 
 
+def _decode_records(payload, nw: int, cbytes: int, slots: int, path: str):
+    """Record payload -> (kmers [n, nw] u64, counts [n, slots] u32): one
+    native pass when the extension is built, numpy strided copies otherwise."""
+    rec = nw * 8 + cbytes * slots
+    if len(payload) % rec:
+        raise FormatError(
+            f"{path}: payload size {len(payload)} not multiple of {rec}"
+        )
+    n = len(payload) // rec
+    try:
+        from kmdiff_tpu.native import split_kmer_records
+    except ImportError:
+        split_kmer_records = None
+    if split_kmer_records is not None:
+        kmers, counts = split_kmer_records(
+            np.frombuffer(payload, dtype=np.uint8), n, nw, cbytes, slots
+        )
+        return kmers, counts
+    raw = np.frombuffer(payload, dtype=np.uint8).reshape(n, rec)
+    kmers = raw[:, : nw * 8].copy().view("<u8").reshape(n, nw)
+    cdt = _COUNT_DTYPES[cbytes]
+    counts = (
+        raw[:, nw * 8 :]
+        .copy()
+        .view(np.dtype(cdt).newbyteorder("<"))
+        .reshape(n, slots)
+        .astype(np.uint32)
+    )
+    return kmers, (counts[:, 0] if slots == 1 else counts)
+
+
+def _encode_records(kmers: np.ndarray, counts: np.ndarray, cbytes: int):
+    """(kmers, counts) -> record payload (uint8 array / bytes)."""
+    try:
+        from kmdiff_tpu.native import pack_kmer_records
+    except ImportError:
+        pack_kmer_records = None
+    if pack_kmer_records is not None:
+        return pack_kmer_records(kmers, counts, cbytes)
+    n, nw = kmers.shape
+    slots = 1 if counts.ndim == 1 else counts.shape[1]
+    cdt = _COUNT_DTYPES[cbytes]
+    rec = np.zeros((n, nw * 8 + cbytes * slots), dtype=np.uint8)
+    rec[:, : nw * 8] = (
+        np.ascontiguousarray(kmers.astype("<u8")).view(np.uint8).reshape(n, nw * 8)
+    )
+    rec[:, nw * 8 :] = (
+        np.ascontiguousarray(counts.astype(np.dtype(cdt).newbyteorder("<")))
+        .view(np.uint8)
+        .reshape(n, cbytes * slots)
+    )
+    return rec.reshape(-1)
+
+
+def _write_frame(f, payload, lz4_mode: str):
+    """Write payload as one LZ4 frame: single native dispatch when built,
+    streaming Python writer otherwise."""
+    try:
+        from kmdiff_tpu.native import lz4_frame_compress
+    except ImportError:
+        lz4_frame_compress = None
+    if lz4_frame_compress is not None:
+        f.write(lz4_frame_compress(payload, mode=lz4_mode))
+        return
+    data = payload.tobytes() if isinstance(payload, np.ndarray) else payload
+    with Lz4FrameWriter(f, mode=lz4_mode) as w:
+        w.write(data)
+
+
 def read_kmer_file(path: str) -> tuple[KmerFileInfo, np.ndarray, np.ndarray]:
     """Read a sorted per-partition per-sample count file.
 
@@ -212,17 +281,10 @@ def read_kmer_file(path: str) -> tuple[KmerFileInfo, np.ndarray, np.ndarray]:
             raise FormatError(f"{path}: expected kmer file, got {head['type']}")
         ksize, slots, cbytes, sidx, part = struct.unpack("<IIIII", f.read(20))
         info = KmerFileInfo(ksize, slots, cbytes, sidx, part, head["compressed"])
-        payload = Lz4FrameReader(f).read_all() if head["compressed"] else f.read()
+        payload = frame_read_all(f) if head["compressed"] else f.read()
     nw = n_words(ksize)
-    rec = nw * 8 + info.count_bytes * info.count_slots
-    if len(payload) % rec:
-        raise FormatError(f"{path}: payload size {len(payload)} not multiple of {rec}")
-    n = len(payload) // rec
-    raw = np.frombuffer(payload, dtype=np.uint8).reshape(n, rec)
-    kmers = raw[:, : nw * 8].copy().view("<u8").reshape(n, nw)
-    cdt = _COUNT_DTYPES[info.count_bytes]
-    counts = (
-        raw[:, nw * 8 :].copy().view(np.dtype(cdt).newbyteorder("<")).reshape(n).astype(np.uint32)
+    kmers, counts = _decode_records(
+        payload, nw, info.count_bytes, info.count_slots, path
     )
     return info, kmers, counts
 
@@ -242,26 +304,14 @@ def write_kmer_file(
     lexicographically sorted [n, n_words] uint64."""
     nw = n_words(kmer_size)
     assert kmers.ndim == 2 and kmers.shape[1] == nw
-    n = len(kmers)
-    cdt = _COUNT_DTYPES[count_bytes]
-    rec = np.zeros((n, nw * 8 + count_bytes), dtype=np.uint8)
-    rec[:, : nw * 8] = (
-        np.ascontiguousarray(kmers.astype("<u8")).view(np.uint8).reshape(n, nw * 8)
-    )
-    rec[:, nw * 8 :] = (
-        np.ascontiguousarray(counts.astype(np.dtype(cdt).newbyteorder("<")))
-        .view(np.uint8)
-        .reshape(n, count_bytes)
-    )
+    payload = _encode_records(kmers, counts, count_bytes)
     with open(path, "wb") as f:
         _write_header(f, "kmer", compressed)
         f.write(struct.pack("<IIIII", kmer_size, 1, count_bytes, sample_idx, partition))
-        data = rec.tobytes()
         if compressed:
-            with Lz4FrameWriter(f, mode=lz4_mode) as w:
-                w.write(data)
+            _write_frame(f, payload, lz4_mode)
         else:
-            f.write(data)
+            f.write(payload.tobytes() if isinstance(payload, np.ndarray) else payload)
 
 
 # ---------------------------------------------------------------------------
@@ -409,22 +459,12 @@ def read_matrix_file(path: str) -> tuple[KmerFileInfo, np.ndarray, np.ndarray]:
             raise FormatError(f"{path}: expected matrix file, got {head['type']}")
         ksize, slots, cbytes, sidx, part = struct.unpack("<IIIII", f.read(20))
         info = KmerFileInfo(ksize, slots, cbytes, sidx, part, head["compressed"])
-        payload = Lz4FrameReader(f).read_all() if head["compressed"] else f.read()
+        payload = frame_read_all(f) if head["compressed"] else f.read()
     nw = n_words(ksize)
-    rec = nw * 8 + info.count_bytes * info.count_slots
-    if len(payload) % rec:
-        raise FormatError(f"{path}: payload size {len(payload)} not multiple of {rec}")
-    n = len(payload) // rec
-    raw = np.frombuffer(payload, dtype=np.uint8).reshape(n, rec)
-    kmers = raw[:, : nw * 8].copy().view("<u8").reshape(n, nw)
-    cdt = _COUNT_DTYPES[info.count_bytes]
-    counts = (
-        raw[:, nw * 8 :]
-        .copy()
-        .view(np.dtype(cdt).newbyteorder("<"))
-        .reshape(n, info.count_slots)
-        .astype(np.uint32)
+    kmers, counts = _decode_records(
+        payload, nw, info.count_bytes, info.count_slots, path
     )
+    counts = counts.reshape(len(kmers), info.count_slots)
     return info, kmers, counts
 
 
@@ -440,22 +480,11 @@ def write_matrix_file(
 ) -> None:
     nw = n_words(kmer_size)
     n, nsamples = counts.shape
-    cdt = _COUNT_DTYPES[count_bytes]
-    rec = np.zeros((n, nw * 8 + count_bytes * nsamples), dtype=np.uint8)
-    rec[:, : nw * 8] = (
-        np.ascontiguousarray(kmers.astype("<u8")).view(np.uint8).reshape(n, nw * 8)
-    )
-    rec[:, nw * 8 :] = (
-        np.ascontiguousarray(counts.astype(np.dtype(cdt).newbyteorder("<")))
-        .view(np.uint8)
-        .reshape(n, count_bytes * nsamples)
-    )
+    payload = _encode_records(kmers, counts, count_bytes)
     with open(path, "wb") as f:
         _write_header(f, "matrix", compressed)
         f.write(struct.pack("<IIIII", kmer_size, nsamples, count_bytes, 0, partition))
-        data = rec.tobytes()
         if compressed:
-            with Lz4FrameWriter(f, mode=lz4_mode) as w:
-                w.write(data)
+            _write_frame(f, payload, lz4_mode)
         else:
-            f.write(data)
+            f.write(payload.tobytes() if isinstance(payload, np.ndarray) else payload)

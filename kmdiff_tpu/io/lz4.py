@@ -304,16 +304,42 @@ class Lz4FrameWriter:
         return False
 
 
+def frame_read_all(f, size_hint: int = 0):
+    """Read the complete LZ4 frame starting at f's position.
+
+    Uses the native one-pass frame decoder when available (returns a numpy
+    uint8 array; also handles block-DEPENDENT frames, which the per-block
+    Python reader cannot); falls back to Lz4FrameReader (returns bytes).
+    """
+    try:
+        from kmdiff_tpu.native import lz4_frame_decompress as _native
+    except ImportError:
+        return Lz4FrameReader(f).read_all()
+    return _native(f.read(), size_hint)
+
+
 def decompress_frame(data: bytes) -> bytes:
     """Decode a complete in-memory LZ4 frame."""
     import io
 
+    try:
+        from kmdiff_tpu.native import lz4_frame_decompress as _native
+
+        return _native(data).tobytes()
+    except ImportError:
+        pass
     return Lz4FrameReader(io.BytesIO(data)).read_all()
 
 
 def compress_frame(data: bytes, mode: str = "fast", block_size: int = 1 << 16) -> bytes:
     import io
 
+    try:
+        from kmdiff_tpu.native import lz4_frame_compress as _native
+
+        return _native(data, mode=mode, block_size=block_size).tobytes()
+    except ImportError:
+        pass
     buf = io.BytesIO()
     with Lz4FrameWriter(buf, block_size=block_size, mode=mode) as w:
         w.write(data)
@@ -323,6 +349,7 @@ def compress_frame(data: bytes, mode: str = "fast", block_size: int = 1 << 16) -
 __all__ = [
     "Lz4FrameReader",
     "Lz4FrameWriter",
+    "frame_read_all",
     "decompress_frame",
     "compress_frame",
     "decompress_block",

@@ -15,11 +15,16 @@ import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_kmdiff_native.so")
-_SRC = os.path.join(_DIR, "lz4_codec.cpp")
+_SRCS = [
+    os.path.join(_DIR, "lz4_codec.cpp"),
+    os.path.join(_DIR, "io_codec.cpp"),
+]
 
 
 def _load():
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+        os.path.getmtime(s) for s in _SRCS
+    ):
         try:
             subprocess.run(
                 ["make", "-C", _DIR],
@@ -41,6 +46,27 @@ def _load():
     ]
     lib.lz4_compress_bound.restype = ctypes.c_long
     lib.lz4_compress_bound.argtypes = [ctypes.c_long]
+    lib.lz4_frame_decompress.restype = ctypes.c_long
+    lib.lz4_frame_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lz4_frame_compress.restype = ctypes.c_long
+    lib.lz4_frame_compress.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_long,
+    ]
+    lib.lz4_frame_compress_bound.restype = ctypes.c_long
+    lib.lz4_frame_compress_bound.argtypes = [ctypes.c_long, ctypes.c_long]
+    lib.split_kmer_records.restype = ctypes.c_long
+    lib.split_kmer_records.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.pack_kmer_records.restype = ctypes.c_long
+    lib.pack_kmer_records.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
     lib.kmdiff_native_info.restype = ctypes.c_char_p
     return lib
 
@@ -81,3 +107,79 @@ def lz4_compress_block(src: bytes) -> bytes:
 
         raise FormatError("LZ4 compression failed (buffer bound)")
     return buf.raw[:n]
+
+
+def lz4_frame_decompress(src: bytes, size_hint: int = 0):
+    """Decode a whole LZ4 frame in one native pass (handles both block-
+    independent and block-dependent frames). Returns a numpy uint8 array."""
+    import numpy as np
+
+    cap = max(int(size_hint), 4 * len(src), 1 << 16)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = _LIB.lz4_frame_decompress(
+            src, len(src), out.ctypes.data, cap
+        )
+        if n >= 0:
+            return out[:n]
+        if n == -2 and cap < (1 << 34):
+            cap *= 4
+            continue
+        from kmdiff_tpu.utils.exceptions import FormatError
+
+        raise FormatError(f"corrupt LZ4 frame (native rc={n})")
+
+
+def lz4_frame_compress(src, mode: str = "fast", block_size: int = 1 << 16):
+    """Compress a buffer (bytes or C-contiguous uint8 numpy array) into a
+    complete LZ4 frame. Returns a numpy uint8 array."""
+    import numpy as np
+
+    src = np.ascontiguousarray(
+        np.frombuffer(src, dtype=np.uint8) if isinstance(src, (bytes, bytearray))
+        else src.reshape(-1).view(np.uint8)
+    )
+    n = len(src)
+    cap = _LIB.lz4_frame_compress_bound(n, block_size)
+    out = np.empty(cap, dtype=np.uint8)
+    w = _LIB.lz4_frame_compress(
+        src.ctypes.data, n, out.ctypes.data, cap,
+        1 if mode == "fast" else 0, block_size,
+    )
+    if w < 0:
+        from kmdiff_tpu.utils.exceptions import FormatError
+
+        raise FormatError("LZ4 frame compression failed (buffer bound)")
+    return out[:w]
+
+
+def split_kmer_records(payload, n: int, nw: int, cbytes: int, slots: int = 1):
+    """payload [n * rec] uint8 -> (kmers [n, nw] u64, counts [n(, slots)]
+    u32) in one native pass (records: nw x u64 LE + slots x cbytes LE)."""
+    import numpy as np
+
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    kmers = np.empty((n, nw), dtype=np.uint64)
+    counts = np.empty((n, slots), dtype=np.uint32)
+    _LIB.split_kmer_records(
+        payload.ctypes.data, n, nw, cbytes, slots,
+        kmers.ctypes.data, counts.ctypes.data,
+    )
+    return kmers, (counts[:, 0] if slots == 1 else counts)
+
+
+def pack_kmer_records(kmers, counts, cbytes: int):
+    """Inverse of split_kmer_records: returns the record payload as a numpy
+    uint8 array. counts may be [n] or [n, slots] (any unsigned dtype)."""
+    import numpy as np
+
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    n, nw = kmers.shape
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    slots = 1 if counts.ndim == 1 else counts.shape[1]
+    payload = np.empty(n * (nw * 8 + cbytes * slots), dtype=np.uint8)
+    _LIB.pack_kmer_records(
+        kmers.ctypes.data, counts.ctypes.data, n, nw, cbytes, slots,
+        payload.ctypes.data,
+    )
+    return payload

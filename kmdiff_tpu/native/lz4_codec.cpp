@@ -54,7 +54,8 @@ long lz4_decompress_block(const uint8_t* src, long src_len, uint8_t* dst,
         lit_len += b;
       } while (b == 255);
     }
-    if (ip + lit_len > iend || op + lit_len > oend) return lit_len ? -1 : -2;
+    if (ip + lit_len > iend) return -1;
+    if (op + lit_len > oend) return -2;
     std::memcpy(op, ip, lit_len);
     ip += lit_len;
     op += lit_len;
@@ -185,6 +186,8 @@ long lz4_compress_block(const uint8_t* src, long src_len, uint8_t* dst,
 
 long lz4_compress_bound(long n) { return n + n / 255 + 16; }
 
-const char* kmdiff_native_info() { return "lz4-codec/1 (clean-room, C++17)"; }
+const char* kmdiff_native_info() {
+  return "lz4-codec/2 io-codec/1 (clean-room, C++17)";
+}
 
 }  // extern "C"

@@ -71,3 +71,104 @@ def test_decode_kmtricks_frame(fixture_dir):
         data = Lz4FrameReader(f).read_all()
     assert len(data) % 12 == 0
     assert len(data) // 12 == 49
+
+
+# ---------------------------------------------------------------------------
+# native io-codec (kmdiff_tpu/native/io_codec.cpp): cross-engine frame
+# parity and one-pass record split/pack vs the numpy fallback
+# ---------------------------------------------------------------------------
+
+native = pytest.importorskip("kmdiff_tpu.native")
+
+
+@pytest.mark.parametrize("size", [0, 1, 12, 100, 65535, 65536, (1 << 20) + 7])
+@pytest.mark.parametrize("mode", ["store", "fast"])
+def test_native_frame_cross_engine(size, mode):
+    """Native-compressed frames decode through the Python block reader and
+    Python-written frames decode through the native one-pass decoder."""
+    data = _random_compressible(size, seed=size + 13)
+    fr = native.lz4_frame_compress(data, mode=mode).tobytes()
+    assert Lz4FrameReader(io.BytesIO(fr)).read_all() == data
+    buf = io.BytesIO()
+    with Lz4FrameWriter(buf, mode=mode) as w:
+        w.write(data)
+    assert native.lz4_frame_decompress(buf.getvalue()).tobytes() == data
+
+
+def test_native_frame_decode_kmtricks(fixture_dir):
+    """The real kmtricks-produced fixture frame decodes natively to the same
+    bytes as the Python reader."""
+    path = os.path.join(fixture_dir, "counts", "partition_0", "Case1.kmer.lz4")
+    with open(path, "rb") as f:
+        f.seek(41)
+        raw = f.read()
+    expect = Lz4FrameReader(io.BytesIO(raw)).read_all()
+    assert native.lz4_frame_decompress(raw).tobytes() == expect
+
+
+def test_native_frame_block_dependent():
+    """Blocks whose matches reach into PREVIOUS blocks (block-dependent
+    frames, FLG bit 5 clear) decode correctly through the contiguous-buffer
+    native path."""
+    import struct
+
+    from kmdiff_tpu.utils.xxhash import xxh32
+
+    data = _random_compressible(300, seed=3) * 40  # period < 64 KiB
+    # hand-build a dependent frame: two stored-size blocks where block 2 is
+    # one LZ4 sequence whose match offset points back into block 1
+    b1 = data[:6000]
+    b2_src = data[6000:12000]
+    # encode b2 as a match-only reference to the repeated prefix: emit one
+    # literal-free sequence is illegal as first sequence, so emit 12
+    # literals then one long match into b1 (offset 6000 relative)
+    lit = b2_src[:12]
+    mlen = len(b2_src) - 12 - 5  # spec: last 5 bytes are literals
+    tail = b2_src[12 + mlen:]
+    seq = bytearray()
+    seq.append((12 << 4) | 15)
+    seq += lit
+    seq += struct.pack("<H", 6000)  # match: same bytes 6000 earlier
+    rest = mlen - 4 - 15
+    while rest >= 255:
+        seq.append(255)
+        rest -= 255
+    seq.append(rest)
+    seq.append(len(tail) << 4)
+    seq += tail
+    flg = (1 << 6)  # version 1, block-DEPENDENT
+    bd = 4 << 4
+    hdr = bytes([flg, bd])
+    frame = struct.pack("<I", 0x184D2204) + hdr
+    frame += bytes([(xxh32(hdr) >> 8) & 0xFF])
+    frame += struct.pack("<I", len(b1) | 0x80000000) + b1
+    frame += struct.pack("<I", len(seq)) + bytes(seq)
+    frame += struct.pack("<I", 0)
+    assert native.lz4_frame_decompress(frame).tobytes() == data[:12000]
+
+
+@pytest.mark.parametrize(
+    "nw,cbytes,slots", [(1, 1, 1), (1, 2, 1), (1, 4, 1), (2, 4, 1), (4, 2, 1),
+                        (1, 4, 20), (2, 1, 3)]
+)
+def test_native_record_split_pack(nw, cbytes, slots):
+    rng = np.random.default_rng(nw * 100 + cbytes * 10 + slots)
+    n = 4999
+    kmers = rng.integers(0, 1 << 63, (n, nw), dtype=np.uint64)
+    counts = rng.integers(0, 1 << (8 * cbytes), (n, slots)).astype(np.uint32)
+    if slots == 1:
+        counts = counts[:, 0]
+    payload = native.pack_kmer_records(kmers, counts, cbytes)
+    # payload layout matches the numpy fallback byte-for-byte
+    rec = np.zeros((n, nw * 8 + cbytes * slots), dtype=np.uint8)
+    rec[:, : nw * 8] = kmers.astype("<u8").view(np.uint8).reshape(n, nw * 8)
+    cdt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[cbytes]
+    rec[:, nw * 8 :] = (
+        np.ascontiguousarray(counts.astype(np.dtype(cdt).newbyteorder("<")))
+        .view(np.uint8)
+        .reshape(n, cbytes * slots)
+    )
+    assert np.array_equal(payload, rec.reshape(-1))
+    k2, c2 = native.split_kmer_records(payload, n, nw, cbytes, slots)
+    assert np.array_equal(k2, kmers)
+    assert np.array_equal(c2.reshape(counts.shape), counts)
