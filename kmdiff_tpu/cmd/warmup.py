@@ -36,10 +36,15 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
     logger.info("Warming kernels on %s:%d for S=%d, k=%d...",
                 dev.platform, dev.id, S, kmer_size)
 
-    # counting kernels (generic lanes: any k <= 128)
+    # counting kernels (generic lanes: any k <= 128): the single-block
+    # fused dispatch at the full BLOCK pad, then a >2-block sample that
+    # exercises the chunked path's 2^23 sort bucket + tail bucket
+    # (pipeline.count.SORT_ROWS grouping)
     from kmdiff_tpu.pipeline.count import BLOCK, count_sample_device
 
-    codes = rng.integers(0, 4, min(BLOCK, 1 << 20), dtype=np.uint8)
+    codes = rng.integers(0, 4, BLOCK, dtype=np.uint8)
+    count_sample_device([codes], kmer_size, 4)
+    codes = rng.integers(0, 4, 2 * BLOCK + (1 << 16), dtype=np.uint8)
     count_sample_device([codes], kmer_size, 4)
     logger.info("  counting kernels compiled (%s)", timer.formatted())
 

@@ -67,6 +67,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.merge_counted_streams.restype = ctypes.c_long
+    lib.merge_counted_streams.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.kmdiff_native_info.restype = ctypes.c_char_p
     return lib
 
@@ -166,6 +171,27 @@ def split_kmer_records(payload, n: int, nw: int, cbytes: int, slots: int = 1):
         kmers.ctypes.data, counts.ctypes.data,
     )
     return kmers, (counts[:, 0] if slots == 1 else counts)
+
+
+def merge_counted_streams(kmers_list, counts_list):
+    """K-way merge of k-mer-sorted (kmers [n, nw] u64, counts [n] u32)
+    streams, summing counts of equal k-mers. Returns (kmers, counts)."""
+    import numpy as np
+
+    kmers = np.ascontiguousarray(np.concatenate(kmers_list), dtype=np.uint64)
+    counts = np.ascontiguousarray(np.concatenate(counts_list), dtype=np.uint32)
+    offsets = np.zeros(len(kmers_list) + 1, dtype=np.int64)
+    np.cumsum([len(k) for k in kmers_list], out=offsets[1:])
+    n, nw = kmers.shape
+    out_k = np.empty_like(kmers)
+    out_c = np.empty_like(counts)
+    m = _LIB.merge_counted_streams(
+        kmers.ctypes.data, counts.ctypes.data, offsets.ctypes.data,
+        len(kmers_list), nw, out_k.ctypes.data, out_c.ctypes.data,
+    )
+    if m < 0:
+        raise ValueError("merge_counted_streams: too many streams")
+    return out_k[:m], out_c[:m]
 
 
 def pack_kmer_records(kmers, counts, cbytes: int):

@@ -317,6 +317,57 @@ long split_kmer_records(const uint8_t* payload, long n, int nw, int cbytes,
   return n;
 }
 
+// K-way merge of m k-mer-sorted (kmer[nw] asc, count) streams, summing the
+// counts of equal k-mers — the host combiner for device count chunks
+// (pipeline.count.count_sample_device sorts each <=8M-row chunk on device
+// and merges the distinct streams here). kmers: concatenated [N, nw] u64
+// rows (word 0 most significant); offsets: [m+1] row bounds per stream.
+// Writes at most N rows to out_k/out_c; returns merged row count, or -1
+// when m exceeds the stream cap.
+long merge_counted_streams(const uint64_t* kmers, const uint32_t* counts,
+                           const long* offsets, int m, int nw,
+                           uint64_t* out_k, uint32_t* out_c) {
+  constexpr int MAX_STREAMS = 64;
+  if (m < 0 || m > MAX_STREAMS) return -1;
+  long pos[MAX_STREAMS];
+  for (int s = 0; s < m; ++s) pos[s] = offsets[s];
+
+  auto kless = [&](const uint64_t* a, const uint64_t* b) {
+    for (int w = 0; w < nw; ++w) {
+      if (a[w] != b[w]) return a[w] < b[w];
+    }
+    return false;
+  };
+  auto keq = [&](const uint64_t* a, const uint64_t* b) {
+    for (int w = 0; w < nw; ++w) {
+      if (a[w] != b[w]) return false;
+    }
+    return true;
+  };
+
+  long out = -1;
+  while (true) {
+    int best = -1;
+    for (int s = 0; s < m; ++s) {
+      if (pos[s] >= offsets[s + 1]) continue;
+      if (best < 0 || kless(kmers + pos[s] * nw, kmers + pos[best] * nw)) {
+        best = s;
+      }
+    }
+    if (best < 0) break;
+    const uint64_t* kp = kmers + pos[best] * nw;
+    if (out >= 0 && keq(out_k + out * nw, kp)) {
+      out_c[out] += counts[pos[best]];
+    } else {
+      ++out;
+      std::memcpy(out_k + out * nw, kp, (size_t)nw * 8);
+      out_c[out] = counts[pos[best]];
+    }
+    ++pos[best];
+  }
+  return out + 1;
+}
+
 // Inverse of split_kmer_records: interleave kmer words and (narrowed)
 // counts back into the record payload.
 long pack_kmer_records(const uint64_t* kmers, const uint32_t* counts, long n,

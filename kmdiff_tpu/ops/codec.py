@@ -197,8 +197,8 @@ def _lane_sentinel_mask(lanes):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("nb_partitions", "max_distinct"))
-def count_sort_rle_lanes(lanes, nb_partitions: int, max_distinct: int):
+@functools.partial(jax.jit, static_argnames=("max_distinct",))
+def count_sort_rle_lanes(lanes, max_distinct: int):
     """Fused per-sample counting for any k: sort + run-length encode on
     device (the TPU replacement for kmtricks' per-partition count loop,
     SURVEY.md §2.2 row 1).
@@ -207,50 +207,47 @@ def count_sort_rle_lanes(lanes, nb_partitions: int, max_distinct: int):
     for invalid windows and padding (no canonical k-mer is all-ones: only
     an all-G k-mer with k % 32 == 0 packs to all-ones, and its reverse
     complement all-C is lexicographically smaller, so the canonical form
-    is never the sentinel). Sorts by (partition, lanes), finds run
-    boundaries, and
+    is never the sentinel). Sorts by lanes, finds run boundaries, and
     compacts to distinct-sized outputs — the only D2H is O(distinct), not
     O(N) (see the axon D2H cost note in ops.merge_dev).
 
-    Returns (n_distinct i32, part_d, lanes_d tuple, counts [max_distinct]);
+    The partition id is deliberately NOT part of the device work: sorting
+    by k-mer alone cuts a full u32 lane out of the sort traffic (a third
+    of it at k <= 32), and the host recomputes partition ids from the
+    fetched k-mers and stable-sorts by them — which preserves the
+    per-partition k-mer order (pipeline.count._fetch_counted).
+
+    Returns (n_distinct i32, lanes_d tuple, counts [max_distinct]);
     host slices by n_distinct (retry with a larger cap on overflow).
     """
-    is_sent = _lane_sentinel_mask(lanes)
-    part = jnp.where(
-        is_sent,
-        jnp.uint32(0xFFFFFFFF),
-        partition_ids_lanes(lanes, nb_partitions),
-    )
-    return sort_rle_core(part, lanes, max_distinct)
+    return sort_rle_core(lanes, max_distinct)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "nb_partitions", "max_distinct")
-)
-def fused_count_kernel(codes, k: int, nb_partitions: int, max_distinct: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_distinct"))
+def fused_count_kernel(codes, k: int, max_distinct: int):
     """Whole-sample counting in ONE dispatch: extraction -> canonical ->
-    partition hash -> sort -> run-length encode (the single-device twin of
+    sort -> run-length encode (the single-device twin of
     parallel.count_step.make_sharded_count_kernel). Minimizes dispatch
     count on sync-dispatch rigs and lets XLA fuse the extraction ladder
     straight into the sort's operand."""
     lanes, _ok = extract_canonical_lanes(codes, k, mask_invalid=True)
-    return count_sort_rle_lanes(lanes, nb_partitions, max_distinct)
+    return count_sort_rle_lanes(lanes, max_distinct)
 
 
-def sort_rle_core(part, lanes, max_distinct: int):
-    """Sort by (partition, lanes), run-length encode, compact — the shared
-    body of the single-device kernel and the sharded per-device count
-    (parallel.count_step). part = 0xFFFFFFFF marks padding rows."""
+def sort_rle_core(lanes, max_distinct: int):
+    """Sort by lanes, run-length encode, compact — the shared body of the
+    single-device kernel and the sharded per-device count
+    (parallel.count_step). All-0xFFFFFFFF lane tuples mark padding rows
+    (they sort last, being the lexicographic maximum)."""
     N = lanes[0].shape[0]
     L = len(lanes)
-    sorted_all = jax.lax.sort((part, *lanes), num_keys=1 + L)
-    part_s, lanes_s = sorted_all[0], sorted_all[1:]
-    valid = part_s != jnp.uint32(0xFFFFFFFF)
+    lanes_s = jax.lax.sort(lanes, num_keys=L)
+    valid = ~_lane_sentinel_mask(lanes_s)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
 
     first = jnp.ones(1, dtype=bool)
-    change = part_s[1:] != part_s[:-1]
-    for l in lanes_s:
+    change = lanes_s[0][1:] != lanes_s[0][:-1]
+    for l in lanes_s[1:]:
         change = change | (l[1:] != l[:-1])
     is_start = jnp.concatenate([first, change]) & valid
     n_distinct = jnp.sum(is_start, dtype=jnp.int32)
@@ -262,7 +259,6 @@ def sort_rle_core(part, lanes, max_distinct: int):
     sidx = jnp.clip(starts, 0, N - 1)
     return (
         n_distinct,
-        part_s[sidx],
         tuple(l[sidx] for l in lanes_s),
         counts,
     )

@@ -168,20 +168,15 @@ def make_sharded_count_kernel(
             recv.append(r.ravel())
         recv = tuple(recv)
 
-        is_sent = recv[0] == SENT
-        for l in recv[1:]:
-            is_sent = is_sent & (l == SENT)
-        part_r = jnp.where(
-            is_sent, SENT, partition_ids_lanes(recv, nb_partitions)
-        )
-        n_distinct, part_d, lanes_d, counts = sort_rle_core(
-            part_r, recv, max_distinct
-        )
+        # sort by lanes only — the partition id would be an extra u32 sort
+        # lane; the host recomputes it from the gathered k-mers and stable-
+        # sorts (pipeline.count.count_sample_device_mesh), preserving the
+        # per-partition k-mer order
+        n_distinct, lanes_d, counts = sort_rle_core(recv, max_distinct)
         n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
         return (
             n_distinct.reshape(1),
             n_dropped.reshape(1),
-            part_d,
             lanes_d,
             counts,
         )
@@ -193,7 +188,6 @@ def make_sharded_count_kernel(
         out_specs=(
             P(ROW_AXIS),
             P(),
-            P(ROW_AXIS),
             (P(ROW_AXIS),) * L,
             P(ROW_AXIS),
         ),

@@ -4,12 +4,13 @@ Replaces the `kmtricks pipeline` subprocess (reference: src/cmd.cpp:27-48,
 SURVEY.md §2.2 row 1) in-process. Per sample:
 
   FASTA/FASTQ(.gz) -> 2-bit codes (reads joined by one INVALID separator)
-  -> fixed-size blocks with k-1 overlap -> device canonical-k-mer kernel +
-  partition hash (kmdiff_tpu.ops.codec) -> device sort by (part, hi, lo)
-  -> host run-length encode -> per-sample abundance histogram (pre
-  hard-min, so histogram-derived totals reproduce the reference's
-  src/kmtricks_utils.cpp:100-109 accounting) -> hard-min filter -> sorted
-  per-partition count files (counts/partition_P/<id>.kmer.lz4).
+  -> fixed-size blocks with k-1 overlap -> device canonical-k-mer kernel
+  (kmdiff_tpu.ops.codec) -> device sort by k-mer + run-length encode ->
+  O(distinct) D2H -> host partition-id recompute + stable regroup ->
+  per-sample abundance histogram (pre hard-min, so histogram-derived
+  totals reproduce the reference's src/kmtricks_utils.cpp:100-109
+  accounting) -> hard-min filter -> sorted per-partition count files
+  (counts/partition_P/<id>.kmer.lz4).
 
 The run dir layout matches kmtricks v1.1.1 (what our diff AND the
 reference's diff consume): counts/partition_*/, histograms/*.hist,
@@ -52,6 +53,14 @@ from kmdiff_tpu.utils.logging import logger
 #: shape stalled the remote-compile service ~18 min — the per-sample D2H
 #: of distinct k-mers, not dispatch count, is the counting floor there.
 BLOCK = int(os.environ.get("KMDIFF_COUNT_BLOCK", 1 << 22))
+
+#: per-dispatch row cap for the count sort. Two full extraction blocks sit
+#: just under 2^23 rows, so chunks pad almost perfectly to this pow2 bucket
+#: (one whole-sample sort pads up to 2x) and no sort shape ever exceeds the
+#: 8M ceiling past which this rig's remote-compile service stalls for tens
+#: of minutes. Cross-chunk duplicate k-mers are summed by a host k-way
+#: merge of the distinct streams (native merge_counted_streams).
+SORT_ROWS = int(os.environ.get("KMDIFF_COUNT_SORT_ROWS", 1 << 23))
 
 _HASH_SEED = np.uint32(0x9E3779B9)
 
@@ -177,15 +186,14 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
         W = pad_to - k + 1
         max_distinct = max(1 << 14, W >> 2)
         while True:
-            n_distinct, part_d, lanes_d, counts = fused_count_kernel(
-                jnp.asarray(codes), k, nb_partitions, max_distinct
+            n_distinct, lanes_d, counts = fused_count_kernel(
+                jnp.asarray(codes), k, max_distinct
             )
             U = int(n_distinct)
             if U <= max_distinct:
                 break
             max_distinct = 1 << max(U - 1, 1).bit_length()
-        return _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
-                              nb_partitions=nb_partitions)
+        return _fetch_counted(U, lanes_d, counts, nb_partitions)
 
     blocks = []
     for codes in all_codes:
@@ -197,48 +205,103 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             np.zeros(0, np.uint32),
         )
     L = n_lanes(k)
-    lanes = [jnp.concatenate([b[i] for b in blocks]) for i in range(L)]
-    N = lanes[0].shape[0]
-    P = 1 << max(12, (N - 1).bit_length())
-    if P > N:
-        pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
-        lanes = [jnp.concatenate([l, pad]) for l in lanes]
 
-    # distinct-count cap: start assuming >=4x duplication, retry exact
-    max_distinct = min(P, max(1 << 14, P >> 2))
-    while True:
-        n_distinct, part_d, lanes_d, counts = count_sort_rle_lanes(
-            tuple(lanes), nb_partitions, max_distinct
-        )
-        U = int(n_distinct)
-        if U <= max_distinct:
-            break
-        max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+    # group extraction blocks into sort chunks of <= SORT_ROWS rows: two
+    # full blocks land just under 2^23, so the pow2 pad is near-zero
+    # (a whole-sample concat pads up to 2x) and every compiled sort shape
+    # stays inside the warmed <=8M buckets (big-shape sort compiles stall
+    # this rig's remote-compile service). Per-chunk distinct streams are
+    # k-mer-sorted; the host k-way merge sums duplicate k-mers across
+    # chunk boundaries (native merge_counted_streams).
+    chunks, cur, cur_rows = [], [], 0
+    for b in blocks:
+        w = b[0].shape[0]
+        if cur and cur_rows + w > SORT_ROWS:
+            chunks.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(b)
+        cur_rows += w
+    chunks.append(cur)
 
-    return _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
-                              nb_partitions=nb_partitions)
+    streams = []
+    for chunk in chunks:
+        lanes = [jnp.concatenate([b[i] for b in chunk]) for i in range(L)] \
+            if len(chunk) > 1 else list(chunk[0])
+        N = lanes[0].shape[0]
+        P = 1 << max(12, (N - 1).bit_length())
+        if P > N:
+            pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
+            lanes = [jnp.concatenate([l, pad]) for l in lanes]
+
+        # distinct-count cap: start assuming >=4x duplication, retry exact
+        max_distinct = min(P, max(1 << 14, P >> 2))
+        while True:
+            n_distinct, lanes_d, counts = count_sort_rle_lanes(
+                tuple(lanes), max_distinct
+            )
+            U = int(n_distinct)
+            if U <= max_distinct:
+                break
+            max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+        streams.append(_fetch_stream(U, lanes_d, counts))
+
+    if len(streams) == 1:
+        kmers, counts_h = streams[0]
+    else:
+        kmers, counts_h = _merge_streams(streams)
+    return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
-def _fetch_counted(U, max_distinct, part_d, lanes_d, counts,
-                   nb_partitions=None):
+def _fetch_stream(U, lanes_d, counts):
     """D2H discipline for slow uplinks: slice device-side at pow2
     granularity (bounded compiled-shape set) so at most 2U rows leave,
-    then fetch chunk-parallel (utils.transfer). When nb_partitions is
-    given, partition ids are RECOMPUTED on host from the fetched k-mers
-    (identical hash chain) instead of transferred — 25% less D2H for
-    one-word k-mers."""
+    then fetch chunk-parallel (utils.transfer). Returns the k-mer-sorted
+    distinct stream (kmers [U, nw] u64, counts [U] u32)."""
     from kmdiff_tpu.ops.codec import lanes_to_words
     from kmdiff_tpu.utils.transfer import fetch_prefix
 
-    def fetch(a):
-        return fetch_prefix(a, U)
+    kmers = lanes_to_words(tuple(fetch_prefix(l, U) for l in lanes_d))
+    return kmers, _fetch_counts_narrow(counts, U)
 
-    kmers = lanes_to_words(tuple(fetch(l) for l in lanes_d))
-    if nb_partitions is not None:
-        parts = host_partition_ids(kmers, nb_partitions)
-    else:
-        parts = fetch(part_d)
-    return kmers, parts, _fetch_counts_narrow(counts, U)
+
+def _merge_streams(streams):
+    """Merge k-mer-sorted (kmers, counts) chunk streams, summing counts of
+    k-mers that appear in several chunks (native k-way merge; numpy
+    sort-reduce fallback)."""
+    kmers_list = [s[0] for s in streams]
+    counts_list = [s[1] for s in streams]
+    try:
+        from kmdiff_tpu.native import merge_counted_streams
+
+        return merge_counted_streams(kmers_list, counts_list)
+    except ImportError:
+        pass
+    kmers = np.concatenate(kmers_list)
+    counts = np.concatenate(counts_list)
+    order = np.lexsort(tuple(kmers[:, w] for w in range(kmers.shape[1] - 1, -1, -1)))
+    kmers, counts = kmers[order], counts[order]
+    is_start = np.ones(len(kmers), dtype=bool)
+    is_start[1:] = np.any(kmers[1:] != kmers[:-1], axis=1)
+    starts = np.flatnonzero(is_start)
+    summed = np.add.reduceat(counts.astype(np.uint64), starts).astype(np.uint32)
+    return kmers[starts], summed
+
+
+def _regroup_by_partition(kmers, counts, nb_partitions):
+    """The device sorts by k-mer only (the partition id would be a whole
+    extra u32 sort lane); partition ids are RECOMPUTED here from the
+    fetched k-mers (identical hash chain) and the rows regrouped by a
+    STABLE argsort on the id — stability preserves the k-mer order inside
+    every partition, so the output contract (sorted by (part, kmer)) is
+    unchanged."""
+    parts = host_partition_ids(kmers, nb_partitions)
+    order = np.argsort(parts, kind="stable")
+    return kmers[order], parts[order], counts[order]
+
+
+def _fetch_counted(U, lanes_d, counts, nb_partitions):
+    kmers, counts_h = _fetch_stream(U, lanes_d, counts)
+    return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
 def _fetch_counts_narrow(counts_d, U) -> np.ndarray:
@@ -314,7 +377,7 @@ def count_sample_device_mesh(
         kern = make_sharded_count_kernel(
             mesh, k, nb_partitions, bucket_cap, max_distinct
         )
-        n_dist, n_drop, part_d, lanes_d, counts_d = kern(codes_dev)
+        n_dist, n_drop, lanes_d, counts_d = kern(codes_dev)
         n_dist = np.asarray(n_dist)
         if int(np.asarray(n_drop)[0]) > 0:
             bucket_cap *= 2
@@ -324,9 +387,11 @@ def count_sample_device_mesh(
             continue
         break
 
-    # gather per-device compacted results, then group by partition: each
-    # partition is wholly owned by one device, so a stable sort on the
-    # partition id alone preserves the per-device (part, kmer) order.
+    # gather per-device compacted results, then group by partition: the
+    # id is recomputed on host from the gathered k-mers (not transferred,
+    # not device-sorted) and a stable sort on it alone preserves each
+    # partition's k-mer order — partitions are wholly owned by one device
+    # and each device's distinct stream arrives k-mer-sorted.
     # Per-shard prefix fetches (the slot region [d*max_distinct, ...) IS
     # device d's shard) move only distinct-sized bytes off each device.
     from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
@@ -348,12 +413,12 @@ def count_sample_device_mesh(
              for d in range(D)]
         )
 
-    part_all = gather(part_d)
     counts_all = gather(counts_d)
     lanes_all = tuple(gather(ln) for ln in lanes_d)
+    kmers = lanes_to_words(lanes_all)
+    part_all = host_partition_ids(kmers, nb_partitions)
     order = np.argsort(part_all, kind="stable")
-    kmers = lanes_to_words(tuple(ln[order] for ln in lanes_all))
-    return kmers, part_all[order], counts_all[order]
+    return kmers[order], part_all[order], counts_all[order]
 
 
 def count_sample(

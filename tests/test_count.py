@@ -395,3 +395,57 @@ def test_count_multi_file_sample_and_fof_ab_min(tmp_path):
     s2 = sample_counts("S2")
     # S2's ab_min override (2) drops its count-1 k-mers (AAAA appears once)
     assert "AAAA" not in s2
+
+
+@pytest.mark.parametrize("k", [21, 55])
+def test_count_sample_device_chunked_parity(k, monkeypatch):
+    """The chunked sort path (blocks grouped into <= SORT_ROWS sorts +
+    host k-way merge of the distinct streams) is byte-identical to the
+    single-sort path."""
+    import kmdiff_tpu.pipeline.count as pc
+
+    rng = np.random.default_rng(23)
+    reads = [_rand_seq(rng, 500) for _ in range(40)] * 3
+    codes = _flat_codes([s.encode() for s in reads])
+
+    big = pc.count_sample_device([codes], k, 4)
+    # tiny blocks + a chunk budget that forces several sort chunks AND a
+    # multi-stream host merge with cross-chunk duplicate k-mers
+    monkeypatch.setattr(pc, "BLOCK", 1 << 12)
+    monkeypatch.setattr(pc, "SORT_ROWS", 1 << 13)
+    small = pc.count_sample_device([codes], k, 4)
+    for a, b in zip(big, small):
+        assert np.array_equal(a, b)
+
+
+def test_merge_streams_fallback_parity():
+    """numpy fallback of _merge_streams matches the native k-way merge."""
+    from kmdiff_tpu.pipeline.count import _merge_streams
+
+    rng = np.random.default_rng(31)
+    streams = []
+    for _ in range(4):
+        km = rng.integers(0, 60, (rng.integers(1, 400), 2), dtype=np.uint64)
+        km = km[np.lexsort((km[:, 1], km[:, 0]))]
+        keep = np.ones(len(km), bool)
+        keep[1:] = np.any(km[1:] != km[:-1], axis=1)
+        km = km[keep]
+        streams.append((km, rng.integers(1, 9, len(km), dtype=np.uint32)))
+    native_k, native_c = _merge_streams(streams)
+
+    import builtins
+
+    real_import = builtins.__import__
+
+    def block_native(name, *a, **kw):
+        if name == "kmdiff_tpu.native":
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **kw)
+
+    builtins.__import__ = block_native
+    try:
+        fb_k, fb_c = _merge_streams(streams)
+    finally:
+        builtins.__import__ = real_import
+    assert np.array_equal(native_k, fb_k)
+    assert np.array_equal(native_c, fb_c)
