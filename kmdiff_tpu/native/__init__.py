@@ -72,6 +72,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.partition_regroup.restype = ctypes.c_long
+    lib.partition_regroup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.kmdiff_native_info.restype = ctypes.c_char_p
     return lib
 
@@ -192,6 +198,27 @@ def merge_counted_streams(kmers_list, counts_list):
     if m < 0:
         raise ValueError("merge_counted_streams: too many streams")
     return out_k[:m], out_c[:m]
+
+
+def partition_regroup(parts, kmers, counts, nparts: int):
+    """Stable counting-sort regroup of (kmers, parts, counts) rows by
+    partition id. Returns new arrays sorted by (part, original order)."""
+    import numpy as np
+
+    parts = np.ascontiguousarray(parts, dtype=np.uint32)
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    n, nw = kmers.shape
+    out_k = np.empty_like(kmers)
+    out_p = np.empty_like(parts)
+    out_c = np.empty_like(counts)
+    rc = _LIB.partition_regroup(
+        parts.ctypes.data, kmers.ctypes.data, counts.ctypes.data, n, nw,
+        nparts, out_k.ctypes.data, out_p.ctypes.data, out_c.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError(f"partition_regroup failed (rc={rc})")
+    return out_k, out_p, out_c
 
 
 def pack_kmer_records(kmers, counts, cbytes: int):

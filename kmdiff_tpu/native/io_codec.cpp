@@ -368,6 +368,34 @@ long merge_counted_streams(const uint64_t* kmers, const uint32_t* counts,
   return out + 1;
 }
 
+// Stable counting-sort regroup by partition id: two passes instead of a
+// general argsort + three fancy gathers (pipeline.count._regroup_by_
+// partition's numpy fallback — measured 0.8-2.6 s per 8M-row sample on
+// fault-bound hosts). parts values must be < nparts. Preserves the
+// incoming (k-mer-sorted) order inside every partition.
+long partition_regroup(const uint32_t* parts, const uint64_t* kmers,
+                       const uint32_t* counts, long n, int nw, int nparts,
+                       uint64_t* out_k, uint32_t* out_p, uint32_t* out_c) {
+  if (nparts <= 0 || nparts > (1 << 20)) return -1;
+  long* off = new long[nparts + 1]();
+  for (long i = 0; i < n; ++i) {
+    if (parts[i] >= (uint32_t)nparts) {
+      delete[] off;
+      return -2;
+    }
+    ++off[parts[i] + 1];
+  }
+  for (int p = 0; p < nparts; ++p) off[p + 1] += off[p];
+  for (long i = 0; i < n; ++i) {
+    const long d = off[parts[i]]++;
+    std::memcpy(out_k + d * nw, kmers + i * nw, (size_t)nw * 8);
+    out_p[d] = parts[i];
+    out_c[d] = counts[i];
+  }
+  delete[] off;
+  return n;
+}
+
 // Inverse of split_kmer_records: interleave kmer words and (narrowed)
 // counts back into the record payload.
 long pack_kmer_records(const uint64_t* kmers, const uint32_t* counts, long n,

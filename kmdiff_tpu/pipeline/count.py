@@ -33,7 +33,6 @@ import numpy as np
 
 from kmdiff_tpu.cmd.options import CountOptions
 from kmdiff_tpu.core.kmer import n_words
-from kmdiff_tpu.io.fasta import read_sequences
 from kmdiff_tpu.io.kmtricks import (
     Fof,
     count_dtype_for,
@@ -295,6 +294,12 @@ def _regroup_by_partition(kmers, counts, nb_partitions):
     every partition, so the output contract (sorted by (part, kmer)) is
     unchanged."""
     parts = host_partition_ids(kmers, nb_partitions)
+    try:
+        from kmdiff_tpu.native import partition_regroup
+
+        return partition_regroup(parts, kmers, counts, nb_partitions)
+    except ImportError:
+        pass
     order = np.argsort(parts, kind="stable")
     return kmers[order], parts[order], counts[order]
 
@@ -416,9 +421,7 @@ def count_sample_device_mesh(
     counts_all = gather(counts_d)
     lanes_all = tuple(gather(ln) for ln in lanes_d)
     kmers = lanes_to_words(lanes_all)
-    part_all = host_partition_ids(kmers, nb_partitions)
-    order = np.argsort(part_all, kind="stable")
-    return kmers[order], part_all[order], counts_all[order]
+    return _regroup_by_partition(kmers, counts_all, nb_partitions)
 
 
 def count_sample(

@@ -37,16 +37,25 @@ def device_fetch(arr) -> np.ndarray:
 def fetch_prefix(arr, n: int, min_bucket: int = 1 << 10) -> np.ndarray:
     """Fetch the first `n` rows of a (possibly padded) device array.
 
-    The array is sliced DEVICE-side to the pow2 bucket >= n first (bounded
-    compiled-shape set, at most 2n rows cross the link), then fetched
-    chunk-parallel. This is the D2H discipline every padded kernel output
-    must use on slow uplinks: fetching the full pad via np.asarray moves
-    pad_size/row-count more bytes over a single stream (measured here:
-    ~5 MB/s vs ~30 MB/s chunked — the difference between seconds and
-    minutes per partition at realistic hit rates)."""
+    The array is sliced DEVICE-side to a quarter-pow2 bucket >= n first
+    ({1, 1.25, 1.5, 1.75} x 2^b — a bounded compiled-shape set, slice
+    compiles are cheap, and at most 1.25n rows cross the link instead of
+    the 2n a plain pow2 ladder allows), then fetched chunk-parallel. This
+    is the D2H discipline every padded kernel output must use on slow
+    uplinks: fetching the full pad via np.asarray moves pad_size/row-count
+    more bytes over a single stream (measured here: ~5 MB/s vs ~30 MB/s
+    chunked — the difference between seconds and minutes per partition at
+    realistic hit rates)."""
     n = int(n)
     total = arr.shape[0]
-    cap = min(total, max(min_bucket, 1 << max(n - 1, 1).bit_length()))
+    if n <= min_bucket:
+        cap = min(total, min_bucket)
+    else:
+        # smallest (4 + q) << (b - 3) >= n for q in 1..4: four buckets per
+        # octave, worst-case 1.25x overfetch
+        b = max(n - 1, 1).bit_length()
+        step = 1 << max(b - 3, 0)
+        cap = min(total, -(-n // step) * step)
     if cap < total:
         arr = arr[:cap]
     return device_fetch(arr)[:n]
