@@ -204,6 +204,10 @@ class KmerFileInfo:
 def _decode_records(payload, nw: int, cbytes: int, slots: int, path: str):
     """Record payload -> (kmers [n, nw] u64, counts [n, slots] u32): one
     native pass when the extension is built, numpy strided copies otherwise."""
+    if cbytes not in _COUNT_DTYPES:
+        raise FormatError(f"{path}: unsupported count width {cbytes}")
+    if slots <= 0 or not (1 <= nw <= 4):
+        raise FormatError(f"{path}: bad record layout (nw={nw}, slots={slots})")
     rec = nw * 8 + cbytes * slots
     if len(payload) % rec:
         raise FormatError(

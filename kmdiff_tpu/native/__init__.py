@@ -146,6 +146,8 @@ def lz4_frame_compress(src, mode: str = "fast", block_size: int = 1 << 16):
     complete LZ4 frame. Returns a numpy uint8 array."""
     import numpy as np
 
+    if mode not in ("store", "fast"):
+        raise ValueError(f"bad LZ4 writer mode {mode}")
     src = np.ascontiguousarray(
         np.frombuffer(src, dtype=np.uint8) if isinstance(src, (bytes, bytearray))
         else src.reshape(-1).view(np.uint8)
@@ -172,10 +174,15 @@ def split_kmer_records(payload, n: int, nw: int, cbytes: int, slots: int = 1):
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
     kmers = np.empty((n, nw), dtype=np.uint64)
     counts = np.empty((n, slots), dtype=np.uint32)
-    _LIB.split_kmer_records(
+    rc = _LIB.split_kmer_records(
         payload.ctypes.data, n, nw, cbytes, slots,
         kmers.ctypes.data, counts.ctypes.data,
     )
+    if rc < 0:
+        raise ValueError(
+            f"split_kmer_records: bad layout (nw={nw}, cbytes={cbytes}, "
+            f"slots={slots})"
+        )
     return kmers, (counts[:, 0] if slots == 1 else counts)
 
 
@@ -231,8 +238,13 @@ def pack_kmer_records(kmers, counts, cbytes: int):
     counts = np.ascontiguousarray(counts, dtype=np.uint32)
     slots = 1 if counts.ndim == 1 else counts.shape[1]
     payload = np.empty(n * (nw * 8 + cbytes * slots), dtype=np.uint8)
-    _LIB.pack_kmer_records(
+    rc = _LIB.pack_kmer_records(
         kmers.ctypes.data, counts.ctypes.data, n, nw, cbytes, slots,
         payload.ctypes.data,
     )
+    if rc < 0:
+        raise ValueError(
+            f"pack_kmer_records: bad layout (nw={nw}, cbytes={cbytes}, "
+            f"slots={slots})"
+        )
     return payload

@@ -278,8 +278,14 @@ long lz4_frame_compress(const uint8_t* src, long src_len, uint8_t* dst,
 // Split n fixed-width records into kmer words and counts:
 //   payload record = [nw x u64 LE][slots x cbytes LE]
 //   kmers  out: [n * nw] u64, counts out: [n * slots] u32 (widened).
+// cbytes outside {1, 2, 4} is rejected (-1): a wider memcpy into the
+// 4-byte widening temporary would be an out-of-bounds write, and file
+// headers are untrusted input.
 long split_kmer_records(const uint8_t* payload, long n, int nw, int cbytes,
                         int slots, uint64_t* kmers, uint32_t* counts) {
+  if ((cbytes != 1 && cbytes != 2 && cbytes != 4) || nw < 1 || slots < 1) {
+    return -1;
+  }
   const long rec = (long)nw * 8 + (long)cbytes * slots;
   const uint8_t* p = payload;
   if (nw == 1 && slots == 1 && cbytes == 1) {
@@ -400,6 +406,9 @@ long partition_regroup(const uint32_t* parts, const uint64_t* kmers,
 // counts back into the record payload.
 long pack_kmer_records(const uint64_t* kmers, const uint32_t* counts, long n,
                        int nw, int cbytes, int slots, uint8_t* payload) {
+  if ((cbytes != 1 && cbytes != 2 && cbytes != 4) || nw < 1 || slots < 1) {
+    return -1;
+  }
   const long rec = (long)nw * 8 + (long)cbytes * slots;
   uint8_t* p = payload;
   if (nw == 1 && slots == 1 && cbytes <= 4) {

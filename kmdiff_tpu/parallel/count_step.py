@@ -125,8 +125,9 @@ def make_sharded_count_kernel(
     step(codes [D*cap_codes] u8 row-sharded; chunks carry k-1 overlap so
     no window is lost at chunk joins, INVALID-padded)
     -> (n_distinct [D] i32, n_dropped [1] i32 psum'd,
-        part_d [D*max_distinct] u32, lanes tuple [D*max_distinct] u32,
-        counts [D*max_distinct] u32) — all row-sharded except n_dropped.
+        lanes tuple [D*max_distinct] u32, counts [D*max_distinct] u32)
+    — all row-sharded except n_dropped. Partition ids are recomputed on
+    host from the gathered k-mers (pipeline.count._regroup_by_partition).
     """
     from kmdiff_tpu.ops.codec import (
         extract_canonical_lanes,

@@ -215,6 +215,16 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     chunks, cur, cur_rows = [], [], 0
     for b in blocks:
         w = b[0].shape[0]
+        while w > SORT_ROWS:
+            # a single extraction block can exceed the sort cap when
+            # KMDIFF_COUNT_BLOCK is tuned above KMDIFF_COUNT_SORT_ROWS:
+            # split it device-side (slices are cheap to compile)
+            if cur:
+                chunks.append(cur)
+                cur, cur_rows = [], 0
+            chunks.append([tuple(l[:SORT_ROWS] for l in b)])
+            b = tuple(l[SORT_ROWS:] for l in b)
+            w = b[0].shape[0]
         if cur and cur_rows + w > SORT_ROWS:
             chunks.append(cur)
             cur, cur_rows = [], 0
@@ -266,15 +276,27 @@ def _fetch_stream(U, lanes_d, counts):
 def _merge_streams(streams):
     """Merge k-mer-sorted (kmers, counts) chunk streams, summing counts of
     k-mers that appear in several chunks (native k-way merge; numpy
-    sort-reduce fallback)."""
-    kmers_list = [s[0] for s in streams]
-    counts_list = [s[1] for s in streams]
+    sort-reduce fallback). Stream counts beyond the native 64-way cap
+    reduce hierarchically (64 chunks = half a billion rows per level, so
+    a second level is already colossal input)."""
     try:
         from kmdiff_tpu.native import merge_counted_streams
-
-        return merge_counted_streams(kmers_list, counts_list)
     except ImportError:
-        pass
+        merge_counted_streams = None
+    if merge_counted_streams is not None:
+        while len(streams) > 64:
+            streams = [
+                merge_counted_streams(
+                    [s[0] for s in streams[i : i + 64]],
+                    [s[1] for s in streams[i : i + 64]],
+                )
+                for i in range(0, len(streams), 64)
+            ]
+        return merge_counted_streams(
+            [s[0] for s in streams], [s[1] for s in streams]
+        )
+    kmers_list = [s[0] for s in streams]
+    counts_list = [s[1] for s in streams]
     kmers = np.concatenate(kmers_list)
     counts = np.concatenate(counts_list)
     order = np.lexsort(tuple(kmers[:, w] for w in range(kmers.shape[1] - 1, -1, -1)))

@@ -449,3 +449,34 @@ def test_merge_streams_fallback_parity():
         builtins.__import__ = real_import
     assert np.array_equal(native_k, fb_k)
     assert np.array_equal(native_c, fb_c)
+
+
+def test_merge_streams_beyond_native_cap():
+    """>64 chunk streams reduce hierarchically through the 64-way native
+    merge instead of erroring."""
+    from kmdiff_tpu.pipeline.count import _merge_streams
+
+    streams = [
+        (np.array([[s]], dtype=np.uint64), np.array([1], dtype=np.uint32))
+        for s in range(70)
+    ] + [(np.array([[7]], dtype=np.uint64), np.array([3], dtype=np.uint32))]
+    km, ct = _merge_streams(streams)
+    assert len(km) == 70
+    got = dict(zip(km[:, 0].tolist(), ct.tolist()))
+    assert got[7] == 4 and got[0] == 1
+
+
+def test_count_block_wider_than_sort_rows(monkeypatch):
+    """A single extraction block above SORT_ROWS splits device-side instead
+    of compiling an oversized sort shape."""
+    import kmdiff_tpu.pipeline.count as pc
+
+    rng = np.random.default_rng(41)
+    reads = [_rand_seq(rng, 700) for _ in range(30)] * 2
+    codes = _flat_codes([s.encode() for s in reads])
+    ref = pc.count_sample_device([codes], 21, 4)
+    monkeypatch.setattr(pc, "BLOCK", 1 << 14)
+    monkeypatch.setattr(pc, "SORT_ROWS", 1 << 12)  # below the block width
+    got = pc.count_sample_device([codes], 21, 4)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)

@@ -172,3 +172,36 @@ def test_native_record_split_pack(nw, cbytes, slots):
     k2, c2 = native.split_kmer_records(payload, n, nw, cbytes, slots)
     assert np.array_equal(k2, kmers)
     assert np.array_equal(c2.reshape(counts.shape), counts)
+
+
+def test_native_split_rejects_bad_cbytes():
+    """Untrusted header widths outside {1,2,4} must be rejected, not
+    memcpy'd into the 4-byte widening temporary."""
+    with pytest.raises(ValueError):
+        native.split_kmer_records(np.zeros(32, np.uint8), 2, 1, 8, 1)
+    with pytest.raises(ValueError):
+        native.pack_kmer_records(
+            np.zeros((2, 1), np.uint64), np.zeros(2, np.uint32), 3
+        )
+    with pytest.raises(ValueError):
+        native.lz4_frame_compress(b"abc", mode="hc")
+
+
+def test_read_kmer_file_rejects_bad_header(tmp_path):
+    """A crafted count file declaring an 8-byte count width errors cleanly
+    (FormatError) on both the native and fallback decode paths."""
+    import struct
+
+    from kmdiff_tpu.io.kmtricks import MAGIC, read_kmer_file
+    from kmdiff_tpu.utils.exceptions import FormatError
+
+    p = tmp_path / "evil.kmer.lz4"
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", 0))
+        f.write(bytes([0]))  # uncompressed
+        f.write(b"kmer".ljust(8, b"\x00"))
+        f.write(struct.pack("<IIIII", 31, 1, 8, 0, 0))  # cbytes=8
+        f.write(b"\x00" * 32)  # 2 records of 16 bytes
+    with pytest.raises(FormatError):
+        read_kmer_file(str(p))
