@@ -95,16 +95,22 @@ def merge_lrt_local(
     N = lanes[0].shape[0]
     L = len(lanes)
 
+    # every operand is a sort KEY: within a segment (equal lanes) the row
+    # order is irrelevant to all downstream uses (segment sums, run-start
+    # gathers, the at-most-one-row-per-sample scatter), and XLA's TPU sort
+    # schedules payload-carrying sorts catastrophically at some shapes
+    # (measured: (u32,u32 keys)+u32 payload = 156 ms per 2M rows vs 28 ms
+    # for the identical operands as 3 keys — bench/README.md)
     if packed_ctrl:
         if want_rows or want_geno or wide_sums:
             raise ValueError("packed_ctrl excludes rows/geno/wide paths")
-        sorted_all = jax.lax.sort((*lanes, count), num_keys=L)
+        sorted_all = jax.lax.sort((*lanes, count), num_keys=L + 1)
         lanes_s = sorted_all[:L]
         packed_s = sorted_all[L]
         sample_s = None
         count_s = packed_s & jnp.int32(0x7FFFFFFF)
     else:
-        sorted_all = jax.lax.sort((*lanes, sample, count), num_keys=L)
+        sorted_all = jax.lax.sort((*lanes, sample, count), num_keys=L + 2)
         lanes_s = sorted_all[:L]
         sample_s, count_s = sorted_all[L], sorted_all[L + 1]
 
@@ -129,18 +135,20 @@ def merge_lrt_local(
     idx = jnp.arange(N, dtype=jnp.int32)
     is_ctrl = (packed_s < 0) if packed_ctrl else (sample_s < nb_controls)
 
-    seg_start = jax.lax.cummax(jnp.where(is_start, idx, -1))  # run start row
     nxt = jnp.where(is_start, idx, N)
     nxt_shift = jnp.concatenate([nxt[1:], jnp.full((1,), N, jnp.int32)])
     seg_end = jax.lax.cummin(nxt_shift, reverse=True) - 1  # run end row
-    ss = jnp.clip(seg_start, 0, N - 1)
     se = jnp.clip(seg_end, 0, N - 1)
 
     def seg_sum(vals):
-        """Per-segment sum of pre-masked vals, evaluated at every row of
-        the segment (valid at run starts)."""
+        """Per-segment sum of pre-masked vals, valid at run START rows
+        (where the segment's first row is the row itself, so cs[start-1]
+        = cs[start] - vals[start] needs no extra scan or gather). The
+        hot packed path thus pays one cumsum + one gather per group —
+        measured 1.78x kernel speedup over the earlier per-row
+        seg_start/seg_end formulation (bench/README.md)."""
         cs = jnp.cumsum(vals)
-        return cs[se] - cs[ss] + vals[ss]
+        return cs[se] - cs + vals
 
     if wide_sums:
         cu = count_s.astype(jnp.uint32)
@@ -180,6 +188,14 @@ def merge_lrt_local(
         out["hit_sc"] = s_c[hit_start]
         out["hit_sk"] = s_k[hit_start]
 
+    # per-row run-start map, needed only by the dense-row windows below
+    # (the hot packed path never pays this scan)
+    seg_start = (
+        jax.lax.cummax(jnp.where(is_start, idx, -1))
+        if (want_rows or want_geno)
+        else None
+    )
+
     def dense_rows(start_rows, n_slots):
         """Per-sample count rows for segments beginning at start_rows.
         A segment holds at most one entry per sample, so an S-wide window
@@ -188,7 +204,7 @@ def merge_lrt_local(
         win = jnp.clip(
             start_rows[:, None] + jnp.arange(nb_samples)[None, :], 0, N - 1
         )
-        # seg_start (computed above) maps every row to its run's start row
+        # seg_start maps every row to its run's start row
         ok = (seg_start[win] == start_rows[:, None]) & ~is_pad[win]
         samp = jnp.where(ok, sample_s[win], nb_samples)
         rows = jnp.zeros((n_slots, nb_samples + 1), jnp.int32)

@@ -56,9 +56,12 @@ def make_sharded_count_regroup(mesh, nb_partitions: int, bucket_cap: int):
         valid = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
         target = jnp.where(valid, (part % D).astype(jnp.int32), D)
 
-        # stable sort by target device packs each bucket contiguously
+        # all-keys sort by target device packs each bucket contiguously
+        # (payload-carrying sorts hit pathological schedules at some
+        # shapes, ops.merge_dev; the within-bucket order is rebuilt by the
+        # receiver's sort anyway, and all-keys is deterministic)
         t_s, hi_s, lo_s, sm_s, c_s = jax.lax.sort(
-            (target, hi, lo, sample, count), num_keys=1, is_stable=True
+            (target, hi, lo, sample, count), num_keys=5
         )
         # position of each row within its bucket
         idx = jnp.arange(L, dtype=jnp.int32)
@@ -91,7 +94,7 @@ def make_sharded_count_regroup(mesh, nb_partitions: int, bucket_cap: int):
         # sink to the end
         s_hi, s_lo, s_sm, s_c = jax.lax.sort(
             (r_hi.ravel(), r_lo.ravel(), r_sm.ravel(), r_c.ravel()),
-            num_keys=3,
+            num_keys=4,
         )
         n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
         return s_hi, s_lo, s_sm, s_c, n_dropped.reshape(1)
@@ -150,7 +153,9 @@ def make_sharded_count_kernel(
 
         # pack each destination's rows contiguously, then scatter into
         # fixed [D, bucket_cap] send lanes
-        sorted_all = jax.lax.sort((target, *lanes), num_keys=1, is_stable=True)
+        # all keys (see ops.merge_dev on payload-carrying sort schedules);
+        # the receiver re-sorts its bucket, so within-bucket order is free
+        sorted_all = jax.lax.sort((target, *lanes), num_keys=1 + L)
         t_s, lanes_s = sorted_all[0], sorted_all[1:]
         idx = jnp.arange(W, dtype=jnp.int32)
         bucket_first = jnp.where(
