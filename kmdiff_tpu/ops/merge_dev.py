@@ -140,31 +140,37 @@ def merge_lrt_local(
     seg_end = jax.lax.cummin(nxt_shift, reverse=True) - 1  # run end row
     se = jnp.clip(seg_end, 0, N - 1)
 
-    def seg_sum(vals):
-        """Per-segment sum of pre-masked vals, valid at run START rows
+    def seg_sum_cols(cols):
+        """Per-segment sums of pre-masked columns, valid at run START rows
         (where the segment's first row is the row itself, so cs[start-1]
-        = cs[start] - vals[start] needs no extra scan or gather). The
-        hot packed path thus pays one cumsum + one gather per group —
-        measured 1.78x kernel speedup over the earlier per-row
-        seg_start/seg_end formulation (bench/README.md)."""
-        cs = jnp.cumsum(vals)
-        return cs[se] - cs + vals
+        = cs[start] - vals[start] needs no extra scan or gather). All
+        groups stack into ONE [N, C] cumsum + ONE gather: start-anchoring
+        plus column fusion measured ~2.1x over the earlier per-row
+        seg_start/seg_end per-group formulation (bench/README.md)."""
+        vals = jnp.stack(cols, axis=1)
+        cs = jnp.cumsum(vals, axis=0)
+        seg = cs[se] - cs + vals
+        return tuple(seg[:, j] for j in range(len(cols)))
 
     if wide_sums:
         cu = count_s.astype(jnp.uint32)
         c_hi = (cu >> 16).astype(jnp.int32)
         c_lo = (cu & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        s_c_hi = seg_sum(jnp.where(is_ctrl & valid, c_hi, 0))
-        s_c_lo = seg_sum(jnp.where(is_ctrl & valid, c_lo, 0))
-        s_k_hi = seg_sum(jnp.where(~is_ctrl & valid, c_hi, 0))
-        s_k_lo = seg_sum(jnp.where(~is_ctrl & valid, c_lo, 0))
+        s_c_hi, s_c_lo, s_k_hi, s_k_lo = seg_sum_cols((
+            jnp.where(is_ctrl & valid, c_hi, 0),
+            jnp.where(is_ctrl & valid, c_lo, 0),
+            jnp.where(~is_ctrl & valid, c_hi, 0),
+            jnp.where(~is_ctrl & valid, c_lo, 0),
+        ))
         # f32 recombination only feeds the margin-backed LR filter; the
         # exact int64 sums are recombined on host from the split halves
         f_c = s_c_hi.astype(jnp.float32) * 65536.0 + s_c_lo.astype(jnp.float32)
         f_k = s_k_hi.astype(jnp.float32) * 65536.0 + s_k_lo.astype(jnp.float32)
     else:
-        s_c = seg_sum(jnp.where(is_ctrl & valid, count_s, 0))
-        s_k = seg_sum(jnp.where(~is_ctrl & valid, count_s, 0))
+        s_c, s_k = seg_sum_cols((
+            jnp.where(is_ctrl & valid, count_s, 0),
+            jnp.where(~is_ctrl & valid, count_s, 0),
+        ))
         f_c, f_k = s_c, s_k
 
     lr = _lr_from_sums(f_c, f_k, ratio_c, ratio_k)
