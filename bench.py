@@ -88,7 +88,11 @@ def measure_device_merge() -> float:
     import numpy as np
 
     from kmdiff_tpu.ops.lrt import LrtParams
-    from kmdiff_tpu.ops.merge_dev import build_triples, merge_lrt_kernel
+    from kmdiff_tpu.ops.merge_dev import (
+        build_triples_packed,
+        merge_lrt_kernel,
+        pack16_ok,
+    )
 
     S = 20
     N = 1 << (16 if QUICK else 21)
@@ -99,10 +103,13 @@ def measure_device_merge() -> float:
         for _ in range(S)
     ]
     counts = [rng.integers(1, 32, per, dtype=np.uint32) for _ in range(S)]
-    lanes, sample, count, _n = build_triples(kmers, counts, N)
+    # the product's default dispatch: packed ctrl bit, u16 count lane when
+    # counts < 2^15 (pipeline.merge._dispatch_single)
+    assert pack16_ok(counts)
+    lanes, count, _n = build_triples_packed(kmers, counts, N, 10, pack16=True)
     params = LrtParams(10, 10, 10**9, 10**9, 0.05 / 1e5)
     lanes_d = tuple(jnp.asarray(l) for l in lanes)
-    sample_d = jnp.asarray(sample)
+    sample_d = jnp.zeros(1, jnp.int32)
     count_d = jnp.asarray(count)
     kw = dict(
         nb_controls=10,
@@ -114,9 +121,12 @@ def measure_device_merge() -> float:
         max_hits=1 << 14,
         max_geno=1,
         want_geno=False,
+        packed_ctrl=True,
     )
     def step(carry):
-        o = merge_lrt_kernel(lanes_d, sample_d, count_d + (carry % 2), **kw)
+        o = merge_lrt_kernel(
+            lanes_d, sample_d, count_d + jnp.uint16(carry % 2), **kw
+        )
         acc = o["n_distinct"] + o["n_hits"]
         for lane in o["hit_lanes"]:
             acc = acc + lane.astype(jnp.int32).sum()

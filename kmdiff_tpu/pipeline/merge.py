@@ -487,18 +487,20 @@ class PartitionProcessor:
             build_triples,
             build_triples_packed,
             merge_lrt_kernel,
+            pack16_ok,
             pca_threshold_u32,
         )
 
         t0 = time.perf_counter()
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
-        # fast narrow path: control bit packed into count's sign bit, no
-        # sample operand in the sort (25% less sort traffic)
+        # fast narrow path: control bit packed into the count lane, no
+        # sample operand in the sort; u16 packing when counts < 2^15
         packed = not (want_rows or want_geno or wide)
         if packed:
             lanes, count, _ = build_triples_packed(
-                kmers_list, counts_list, pad_to, self.nb_controls
+                kmers_list, counts_list, pad_to, self.nb_controls,
+                pack16=pack16_ok(counts_list),
             )
             sample = np.zeros(1, np.int32)
         else:
@@ -602,21 +604,22 @@ class PartitionProcessor:
         cap = 1 << max(12, (max(int(max(range_n)), 1) - 1).bit_length())
 
         # per-device triple arrays, concatenated into [D*cap] host buffers
-        from kmdiff_tpu.ops.merge_dev import build_triples_packed
+        from kmdiff_tpu.ops.merge_dev import build_triples_packed, pack16_ok
 
         packed = not (want_rows or want_geno or wide)
+        pack16 = packed and pack16_ok(counts_list)
         n_lanes = 2 * kmers_list[0].shape[1] if kmers_list else 2
         lane_bufs = [np.empty(D * cap, np.uint32) for _ in range(n_lanes)]
         sample_buf = (
             np.zeros(D, np.int32) if packed else np.empty(D * cap, np.int32)
         )
-        count_buf = np.empty(D * cap, np.int32)
+        count_buf = np.empty(D * cap, np.uint16 if pack16 else np.int32)
         for d, per_sample in enumerate(range_slices):
             sub_k = [km[a:b] for km, (a, b) in zip(kmers_list, per_sample)]
             sub_c = [ct[a:b] for ct, (a, b) in zip(counts_list, per_sample)]
             if packed:
                 lanes_d, count_d, _ = build_triples_packed(
-                    sub_k, sub_c, cap, self.nb_controls
+                    sub_k, sub_c, cap, self.nb_controls, pack16=pack16
                 )
             else:
                 lanes_d, sample_d, count_d, _ = build_triples(sub_k, sub_c, cap)

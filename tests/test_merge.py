@@ -348,3 +348,53 @@ def test_wide_sums_counts_near_u32_max(tmp_path):
     order2 = np.argsort(blk2.kmers[:, 0])
     np.testing.assert_array_equal(blk2.pvalues[order2], pv)
     np.testing.assert_array_equal(blk2.signs[order2], sg)
+
+
+def test_packed16_parity_with_packed32():
+    """u16 count packing (ctrl bit 15) and i32 packing (sign bit) produce
+    identical kernel outputs when counts < 2^15."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.merge_dev import (
+        build_triples_packed,
+        merge_lrt_kernel,
+        pack16_ok,
+    )
+
+    rng = np.random.default_rng(3)
+    S = 6
+    kmers_list, counts_list = [], []
+    pool = np.sort(rng.integers(0, 1 << 40, 600, dtype=np.uint64))
+    for s in range(S):
+        take = np.sort(rng.choice(len(pool), 400, replace=False))
+        kmers_list.append(pool[take].reshape(-1, 1))
+        counts_list.append(rng.integers(1, 30000, 400, dtype=np.uint32))
+    assert pack16_ok(counts_list)
+    big = [c.copy() for c in counts_list]
+    big[0][0] = 1 << 15
+    assert not pack16_ok(big)
+
+    pad_to = 1 << 12
+    outs = []
+    for p16 in (False, True):
+        lanes, count, _ = build_triples_packed(
+            kmers_list, counts_list, pad_to, 3, pack16=p16
+        )
+        assert count.dtype == (np.uint16 if p16 else np.int32)
+        out = merge_lrt_kernel(
+            tuple(jnp.asarray(l.copy()) for l in lanes),
+            jnp.zeros(1, jnp.int32),
+            jnp.asarray(count.copy()),
+            3, jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.5),
+            jnp.uint32(0), jnp.uint32(0), 1 << 10, 1, False,
+            packed_ctrl=True,
+        )
+        nh = int(out["n_hits"])
+        outs.append((
+            int(out["n_distinct"]), nh,
+            np.asarray(out["hit_sc"])[:nh].tolist(),
+            np.asarray(out["hit_sk"])[:nh].tolist(),
+            tuple(np.asarray(l)[:nh].tolist() for l in out["hit_lanes"]),
+        ))
+    assert outs[0] == outs[1]
+    assert outs[0][1] > 0  # the comparison covered real hits
