@@ -60,7 +60,7 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
     for thr, label in ((0.05 / 1e5, "tight"), (0.5, "full")):
         proc = PartitionProcessor(model, nb_controls, nb_cases, thr,
                                   keep_counts=pop)
-        for bucket in pad_buckets:
+        for i, bucket in enumerate(pad_buckets):
             n = max(bucket // 2 + 1, 8)
             per = max(n // S, 2)
             kmers = [
@@ -78,6 +78,12 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
             ]
             proc._device_merge_chunk(0, kmers, counts,
                                      VectorAccumulator(), kmer_size)
+            if i == 0 and not pop:
+                # also compile the i32-packed variant (counts >= 2^15)
+                # at the smallest bucket so large-count cohorts start hot
+                counts = [c + np.uint32(1 << 15) for c in counts]
+                proc._device_merge_chunk(0, kmers, counts,
+                                         VectorAccumulator(), kmer_size)
         logger.info("  merge kernels (%s budgets) compiled (%s)",
                     label, timer.formatted())
 
