@@ -78,9 +78,10 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
             ]
             proc._device_merge_chunk(0, kmers, counts,
                                      VectorAccumulator(), kmer_size)
-            if i == 0 and not pop:
-                # also compile the i32-packed variant (counts >= 2^15)
-                # at the smallest bucket so large-count cohorts start hot
+            if thr != 0.5 and not pop:
+                # also compile the i32-packed variant (counts >= 2^15) at
+                # every bucket of the production-threshold pass so
+                # large-count cohorts start hot too
                 counts = [c + np.uint32(1 << 15) for c in counts]
                 proc._device_merge_chunk(0, kmers, counts,
                                          VectorAccumulator(), kmer_size)

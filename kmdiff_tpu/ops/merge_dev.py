@@ -62,8 +62,11 @@ def merge_lrt_local(
 
     lanes: tuple of [N] u32 k-mer lanes, most-significant first (2 per
     uint64 word, up to 8 for k <= 128; padding rows = all-0xFFFFFFFF)
-    sample: [N] i32, count: [N] i32 (padding: sample 0, count 0; counts
-    are uint32 bit patterns viewed as i32)
+    sample: [N] i32; count: [N] i32 (uint32 bit patterns viewed as i32),
+    or [N] u16 on the packed_ctrl path when counts fit 15 bits
+    (build_triples_packed pack16). Pad-row sample/count values are
+    irrelevant: pad rows carry sentinel lanes, sort last, and every
+    consumer masks them
 
     Returns dict with:
       n_distinct, n_hits, n_geno          scalars (i32)
@@ -82,11 +85,11 @@ def merge_lrt_local(
     int64 (reference equivalent: the uint64 sums of model.hpp:145-146).
 
     packed_ctrl: the fast narrow path needs only the control/case BIT of
-    each row, not the sample id — the host packs it into count's sign bit
-    (build_triples_packed) and `sample` becomes a [1] dummy, cutting the
-    sort payload from 8 to 4 bytes per row (25% of the sort traffic the
-    hot kernel pays). Incompatible with want_rows/want_geno (those need
-    sample identity) and wide_sums (counts may use bit 31).
+    each row, not the sample id — the host packs it into the count lane
+    (i32 sign bit, or u16 bit 15 when counts < 2^15) and `sample` becomes
+    a [1] dummy, dropping a whole sort operand. Incompatible with
+    want_rows/want_geno (those need sample identity) and wide_sums
+    (counts may use bit 31).
 
     Every output is survivor-sized: nothing O(N) leaves the device (the
     remote-tunnel D2H path runs at ~200 MB/s and would dominate the
@@ -328,9 +331,12 @@ def build_triples_packed(
     lanes = _staged_lanes(2 * nw, pad_to)
     if pack16:
         count = _staging.get("count16", pad_to, np.uint16)
-        count[N:] = 0
     else:
         count = _staging.get("count", pad_to, np.int32)
+    # pad-row counts are masked everywhere, but zero them so the shipped
+    # bytes (and the device sort's tie order among pad rows) are
+    # deterministic rather than stale staging memory
+    count[N:] = 0
     pos = 0
     for s, (k, c) in enumerate(zip(kmers_list, counts_list)):
         n = len(k)
