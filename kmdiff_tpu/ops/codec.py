@@ -238,7 +238,15 @@ def sort_rle_core(lanes, max_distinct: int):
     """Sort by lanes, run-length encode, compact — the shared body of the
     single-device kernel and the sharded per-device count
     (parallel.count_step). All-0xFFFFFFFF lane tuples mark padding rows
-    (they sort last, being the lexicographic maximum)."""
+    (they sort last, being the lexicographic maximum).
+
+    Compaction is a SECOND all-keys sort that carries the lane values and
+    run lengths into position (run starts keep their ascending row index
+    as the leading key; every other row shares key N and sinks): 2x the
+    nonzero + fancy-gather formulation at 8M rows on TPU, where gathers
+    are the dominant cost (bench/README.md). Slots past n_distinct carry
+    zero counts — _fetch_counts_narrow relies on that for its dtype
+    ladder."""
     N = lanes[0].shape[0]
     L = len(lanes)
     lanes_s = jax.lax.sort(lanes, num_keys=L)
@@ -252,15 +260,30 @@ def sort_rle_core(lanes, max_distinct: int):
     is_start = jnp.concatenate([first, change]) & valid
     n_distinct = jnp.sum(is_start, dtype=jnp.int32)
 
-    starts = jnp.nonzero(is_start, size=max_distinct, fill_value=N)[0]
-    nxt = jnp.concatenate([starts[1:], jnp.full(1, N, starts.dtype)])
-    nxt = jnp.minimum(nxt, n_valid)
-    counts = (nxt - jnp.minimum(starts, n_valid)).astype(jnp.uint32)
-    sidx = jnp.clip(starts, 0, N - 1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    nxt = jnp.where(is_start, idx, N)
+    nxt_shift = jnp.concatenate([nxt[1:], jnp.full(1, N, jnp.int32)])
+    # next run start after each row (clipped to the valid prefix): the
+    # run length at a START row is next_start - row
+    se = jnp.minimum(jax.lax.cummin(nxt_shift, reverse=True), n_valid)
+    counts_row = jnp.where(
+        is_start, (se - jnp.minimum(idx, n_valid)).astype(jnp.uint32), 0
+    )
+    key = jnp.where(is_start, idx, jnp.int32(N))
+    r = jax.lax.sort((key, *lanes_s, counts_row), num_keys=L + 2)
+    # output shape contract is exactly [max_distinct] (the mesh gather
+    # addresses per-device slot regions by it); pad when the input is
+    # smaller
+    pad = max(max_distinct - N, 0)
+    def out(x, fill):
+        x = x[:max_distinct]
+        if pad:
+            x = jnp.concatenate([x, jnp.full(pad, fill, x.dtype)])
+        return x
     return (
         n_distinct,
-        tuple(l[sidx] for l in lanes_s),
-        counts,
+        tuple(out(x, 0xFFFFFFFF) for x in r[1 : L + 1]),
+        out(r[L + 1], 0),
     )
 
 
