@@ -151,18 +151,35 @@ def merge_lrt_local(
     else:
         is_ctrl = sample_s < nb_controls
 
-    nxt = jnp.where(is_start, idx, N)
-    nxt_shift = jnp.concatenate([nxt[1:], jnp.full((1,), N, jnp.int32)])
-    seg_end = jax.lax.cummin(nxt_shift, reverse=True) - 1  # run end row
-    se = jnp.clip(seg_end, 0, N - 1)
-
     def seg_sum_cols(cols):
         """Per-segment sums of pre-masked columns, valid at run START rows
         (where the segment's first row is the row itself, so cs[start-1]
         = cs[start] - vals[start] needs no extra scan or gather). All
-        groups stack into ONE [N, C] cumsum + ONE gather: start-anchoring
-        plus column fusion measured ~2.1x over the earlier per-row
-        seg_start/seg_end per-group formulation (bench/README.md)."""
+        groups stack into ONE [N, C] cumsum, and the run-end prefix
+        propagates back to every row by a reverse cummin over end-masked
+        cs — cs is column-monotone (non-negative vals, total < 2^31 on
+        every path that reaches here), so the nearest end's value is the
+        column minimum to the right and NO gather is needed.
+        Start-anchoring + column fusion + gather elimination measured
+        ~2.4x combined over the per-row seg_start/seg_end per-group
+        formulation (bench/README.md)."""
+        is_end = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+        vals = jnp.stack(cols, axis=1)
+        cs = jnp.cumsum(vals, axis=0)
+        big = jnp.int32(2**31 - 1)
+        end_cs = jnp.where(is_end[:, None], cs, big)
+        seg = jax.lax.cummin(end_cs, axis=0, reverse=True) - cs + vals
+        return tuple(seg[:, j] for j in range(len(cols)))
+
+    def seg_sum_cols_wrapping(cols):
+        """Wide-path variant: the 16-bit-half prefix sums may WRAP int32
+        over the whole array (total mass >= 2^31 is why the wide path
+        exists). Wrapped differences of prefix sums are still exact (the
+        per-segment sum fits i32), but wrapping breaks the monotonicity
+        the cummin trick needs — so this path keeps the run-end gather."""
+        nxt = jnp.where(is_start, idx, N)
+        nxt_shift = jnp.concatenate([nxt[1:], jnp.full((1,), N, jnp.int32)])
+        se = jnp.clip(jax.lax.cummin(nxt_shift, reverse=True) - 1, 0, N - 1)
         vals = jnp.stack(cols, axis=1)
         cs = jnp.cumsum(vals, axis=0)
         seg = cs[se] - cs + vals
@@ -172,7 +189,7 @@ def merge_lrt_local(
         cu = count_s.astype(jnp.uint32)
         c_hi = (cu >> 16).astype(jnp.int32)
         c_lo = (cu & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        s_c_hi, s_c_lo, s_k_hi, s_k_lo = seg_sum_cols((
+        s_c_hi, s_c_lo, s_k_hi, s_k_lo = seg_sum_cols_wrapping((
             jnp.where(is_ctrl & valid, c_hi, 0),
             jnp.where(is_ctrl & valid, c_lo, 0),
             jnp.where(~is_ctrl & valid, c_hi, 0),
