@@ -6,7 +6,9 @@ SIGABRT/FPE/ILL/INT/SEGV/TERM and writes a demangled backtrace to
 hard faults plus a signal hook that writes the Python traceback.
 """
 
+import atexit
 import faulthandler
+import os
 import signal
 import sys
 import traceback
@@ -37,8 +39,23 @@ def init_signal_handlers() -> None:
         return
     _installed = True
     try:
-        fh_log = open(BACKTRACE_LOG + ".fault", "w")
+        # faulthandler needs the file open up front; remove it on a clean
+        # exit so normal runs do not litter the CWD (the reference only
+        # creates its log when a crash actually happens)
+        path = BACKTRACE_LOG + ".fault"
+        fh_log = open(path, "w")
         faulthandler.enable(file=fh_log)
+
+        def _cleanup():
+            try:
+                faulthandler.disable()
+                fh_log.close()
+                if os.path.getsize(path) == 0:
+                    os.remove(path)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
     except OSError:
         pass
     for sig in (signal.SIGTERM, signal.SIGINT):
