@@ -59,6 +59,33 @@ def measure_cpp_baseline() -> float:
         return FALLBACK_CPP_BASELINE
 
 
+def measure_cpp_count_baseline(fasta_paths: list[str], k: int,
+                               hard_min: int) -> float:
+    """Single-core C++ counting baseline (bench/ref_count_baseline.cpp:
+    FASTA -> 2-bit canonical k-mers -> sort -> RLE -> hard-min -> histogram,
+    the kmtricks-shaped per-sample loop) over the SAME files the pipeline
+    counts. Returns bases/s, or 0 when the toolchain is unavailable."""
+    src = os.path.join(HERE, "bench", "ref_count_baseline.cpp")
+    exe = os.path.join(HERE, "bench", "ref_count_baseline")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True, timeout=300,
+            )
+        out = subprocess.run(
+            [exe, str(k), str(hard_min), *fasta_paths],
+            check=True, capture_output=True, timeout=1200, text=True,
+        )
+        v = float(out.stdout.strip())
+        log(f"[bench] C++ single-core counting baseline: {v:.3e} bases/s "
+            f"({len(fasta_paths)} files)")
+        return v
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        log(f"[bench] C++ counting baseline unavailable ({e})")
+        return 0.0
+
+
 def _timed_chain(step_fn, n_iters: int):
     """Trustworthy device timing under an async remote runtime.
 
@@ -269,19 +296,34 @@ def measure_pipeline(baseline: float) -> dict:
                 f"diff {t2-t1:.1f}s, tested {res['total_kmers']:.3e}")
             shutil.rmtree(run_dir, ignore_errors=True)
 
+        # counting baseline over the same cohort files, measured after the
+        # device passes so its CPU burn cannot skew them
+        fasta_paths = []
+        with open(os.path.join(work, "sim", "fof.txt")) as f:
+            for line in f:
+                if ":" in line:
+                    fasta_paths.append(
+                        line.partition(":")[2].partition("!")[0].strip())
+        count_baseline = measure_cpp_count_baseline(fasta_paths, 31, 1)
+
         total_bases = (n_ctrl + n_case) * genome  # coverage 1
         count_rate = total_bases / times["warm"][0]
         pipe_rate = res["total_kmers"] / times["warm"][1]
-        log(f"[bench] pipeline count: {count_rate:.3e} bases/s warm")
+        log(f"[bench] pipeline count: {count_rate:.3e} bases/s warm"
+            + (f" (vs C++ single-core counting {count_rate/count_baseline:.1f}x)"
+               if count_baseline else ""))
         log(f"[bench] pipeline diff: {pipe_rate:.3e} kmers tested/s warm "
             f"(IO+transfers included; vs C++ merge-only baseline "
             f"{pipe_rate/baseline:.1f}x)")
-        return {
+        out = {
             "pipeline_kmers_per_sec": round(pipe_rate, 1),
             "pipeline_vs_baseline": round(pipe_rate / baseline, 3),
             "counting_bases_per_sec": round(count_rate, 1),
             "pipeline_total_tested": res["total_kmers"],
         }
+        if count_baseline:
+            out["counting_vs_baseline"] = round(count_rate / count_baseline, 3)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -382,7 +382,12 @@ def _main_diff_distributed(opt: DiffOptions, config, whole: Timer) -> dict:
 
         corr = None
         if is_primary():
-            if redo_merge:
+            # assemble whenever the assembled geno matrix is absent — not
+            # only when this run redid the merge: a crash between the
+            # merge_done barrier and assembly would otherwise resume with
+            # redo_merge=False and fail on the missing file
+            geno_file = os.path.join(pop_dir, "gwas_eigenstratX.geno")
+            if redo_merge or not os.path.exists(geno_file):
                 GenoSampler.assemble_parts(
                     pop_dir, config.nb_partitions, opt.nb_controls + opt.nb_cases
                 )

@@ -120,12 +120,29 @@ def lz4_compress_block(src: bytes) -> bytes:
     return buf.raw[:n]
 
 
+def _lz4_frame_content_size(src) -> int | None:
+    """The frame header's optional content-size field (FLG bit 3), when
+    present — lets the output buffer be sized in one step."""
+    if len(src) >= 15 and bytes(src[:4]) == b"\x04\x22\x4d\x18":
+        flg = src[4]
+        if (flg >> 6) == 0b01 and flg & 0x08:  # version 01, C.Size set
+            return int.from_bytes(bytes(src[6:14]), "little")
+    return None
+
+
 def lz4_frame_decompress(src: bytes, size_hint: int = 0):
     """Decode a whole LZ4 frame in one native pass (handles both block-
     independent and block-dependent frames). Returns a numpy uint8 array."""
     import numpy as np
 
+    # a frame can only expand ~255x per LZ4 spec; sizing or retrying past
+    # that is a decompression bomb or corruption, not a short buffer
+    expand_max = 256 * max(len(src), 1) + (1 << 16)
+    declared = _lz4_frame_content_size(src)
     cap = max(int(size_hint), 4 * len(src), 1 << 16)
+    if declared is not None:
+        cap = max(min(declared, expand_max), 1 << 10)
+    limit = min(max(cap, expand_max, int(size_hint)), 1 << 34)
     while True:
         out = np.empty(cap, dtype=np.uint8)
         n = _LIB.lz4_frame_decompress(
@@ -133,8 +150,8 @@ def lz4_frame_decompress(src: bytes, size_hint: int = 0):
         )
         if n >= 0:
             return out[:n]
-        if n == -2 and cap < (1 << 34):
-            cap *= 4
+        if n == -2 and cap < limit:
+            cap = min(cap * 4, limit)
             continue
         from kmdiff_tpu.utils.exceptions import FormatError
 

@@ -17,6 +17,28 @@ import numpy as np
 from kmdiff_tpu.core.corrector import CorrectionType
 
 
+def threshold_at_rank(ctype: CorrectionType, threshold: float, total: int, rank):
+    """THE single definition of every corrector's acceptance boundary: a
+    p-value at 0-based acceptance `rank` passes iff p < this value
+    (reference: src/corrector.cpp:9-89; strict `<` on all paths). `rank`
+    may be a scalar or an ndarray — order-free correctors ignore it."""
+    ctype = CorrectionType(ctype)
+    if ctype == CorrectionType.BONFERRONI:
+        return threshold / total
+    if ctype == CorrectionType.SIDAK:
+        return 1.0 - (1.0 - threshold) ** (1.0 / total)
+    if ctype == CorrectionType.NOTHING:
+        return threshold
+    if ctype == CorrectionType.BENJAMINI:
+        # rank advances only on acceptance; before the first rejection,
+        # rank_i == i+1; the walk stops there, so the mask is the prefix
+        return ((np.asarray(rank, dtype=np.float64) + 1.0) / total) * threshold
+    if ctype == CorrectionType.HOLM:
+        # denominator decrements per call: call i uses total - i
+        return threshold / (total - np.asarray(rank, dtype=np.float64))
+    raise ValueError(ctype)
+
+
 def correction_mask_sorted(
     p_sorted: np.ndarray, ctype: CorrectionType, threshold: float, total: int
 ) -> np.ndarray:
@@ -26,23 +48,11 @@ def correction_mask_sorted(
     n = len(p_sorted)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    if ctype == CorrectionType.BONFERRONI:
-        return p_sorted < (threshold / total)
-    if ctype == CorrectionType.SIDAK:
-        return p_sorted < (1.0 - (1.0 - threshold) ** (1.0 / total))
-    if ctype == CorrectionType.NOTHING:
-        return p_sorted < threshold
-    idx = np.arange(n, dtype=np.float64)
-    if ctype == CorrectionType.BENJAMINI:
-        # rank advances only on acceptance; before the first rejection,
-        # rank_i == i+1; the walk stops there, so the mask is the prefix
-        passes = p_sorted < ((idx + 1.0) / total) * threshold
-    elif ctype == CorrectionType.HOLM:
-        # denominator decrements per call: call i uses total - i
-        passes = p_sorted < (threshold / (total - idx))
-    else:
-        raise ValueError(ctype)
-    return np.cumprod(passes).astype(bool)
+    bound = threshold_at_rank(ctype, threshold, total, np.arange(n))
+    passes = p_sorted < bound
+    if ctype in (CorrectionType.BENJAMINI, CorrectionType.HOLM):
+        return np.cumprod(passes).astype(bool)
+    return passes
 
 
 def apply_correction(

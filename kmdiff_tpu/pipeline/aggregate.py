@@ -275,22 +275,12 @@ class Aggregator:
                     cur["file"].close()
 
     def _passes(self, p: float, rank: int, ctype) -> bool:
-        """Scalar walk predicate — mirrors correction_mask_sorted row by
-        row (reference: src/corrector.cpp:9-89)."""
-        from kmdiff_tpu.core.corrector import CorrectionType
+        """Scalar walk predicate — the SAME boundary definition as the
+        vectorized mask (ops.correct.threshold_at_rank is the single
+        source; reference: src/corrector.cpp:9-89)."""
+        from kmdiff_tpu.ops.correct import threshold_at_rank
 
-        ctype = CorrectionType(ctype)
-        if ctype == CorrectionType.BONFERRONI:
-            return p < self.threshold / self.total
-        if ctype == CorrectionType.SIDAK:
-            return p < 1.0 - (1.0 - self.threshold) ** (1.0 / self.total)
-        if ctype == CorrectionType.NOTHING:
-            return p < self.threshold
-        if ctype == CorrectionType.BENJAMINI:
-            return p < ((rank + 1.0) / self.total) * self.threshold
-        if ctype == CorrectionType.HOLM:
-            return p < self.threshold / (self.total - rank)
-        raise ValueError(ctype)
+        return p < float(threshold_at_rank(ctype, self.threshold, self.total, rank))
 
     def _write_rows(self, rows: np.ndarray, out: _OutputPair, nw: int) -> None:
         block = KmerSignBlock(

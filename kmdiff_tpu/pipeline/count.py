@@ -426,8 +426,13 @@ def count_sample_device_mesh(
     L = n_lanes(k)
 
     def gather(arr):
+        # replicated layouts also expose D addressable shards but with
+        # index start=None and full-array data; only keyed row shards may
+        # take the per-shard prefix fast path
         shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+            (s for s in arr.addressable_shards
+             if s.index[0].start is not None),
+            key=lambda s: s.index[0].start,
         )
         if len(shards) == D:
             return np.concatenate(

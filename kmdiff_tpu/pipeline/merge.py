@@ -676,8 +676,14 @@ class PartitionProcessor:
         from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
 
         def gather(arr, budget, counts_per_dev):
+            # only genuinely row-sharded layouts qualify for the per-shard
+            # fast path: a replicated array also has D addressable shards,
+            # but each with index start=None and FULL length — taking its
+            # prefix would silently return the wrong rows
             shards = sorted(
-                arr.addressable_shards, key=lambda s: s.index[0].start or 0
+                (s for s in arr.addressable_shards
+                 if s.index[0].start is not None),
+                key=lambda s: s.index[0].start,
             )
             if len(shards) == D:
                 parts = [

@@ -52,6 +52,35 @@ def examples_dir():
     return str(EXAMPLES)
 
 
+@pytest.fixture(scope="session")
+def examples_count_dir(examples_dir, tmp_path_factory):
+    """`count` over the reference examples/ cohort (10+10 samples, k=31,
+    hard-min 2 — examples/run.sh), once per session; shared by the golden
+    and oracle end-to-end tests."""
+    import os
+
+    from kmdiff_tpu.cli import main
+
+    root = tmp_path_factory.mktemp("examples_count")
+    fof = root / "fof.txt"
+    lines = []
+    for line in open(os.path.join(examples_dir, "fof.txt")):
+        if ":" not in line:
+            continue
+        sid, _, path = line.partition(":")
+        lines.append(
+            f"{sid.strip()} : {os.path.join(examples_dir, path.strip())}"
+        )
+    fof.write_text("\n".join(lines) + "\n")
+    run_dir = root / "kc_dir"
+    rc = main([
+        "count", "--file", str(fof), "--run-dir", str(run_dir),
+        "--kmer-size", "31", "--hard-min", "2",
+    ])
+    assert rc == 0
+    return run_dir
+
+
 @pytest.fixture(autouse=True)
 def _reset_mesh_runtime():
     """The CLI commands configure the global mesh runtime; reset it after
