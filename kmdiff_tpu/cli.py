@@ -163,6 +163,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dp.add_argument("--covariates", default="", help="covariates file.")
     dp.add_argument("--gender", default="", help="gender file.")
+    dp.add_argument(
+        "--compat-popstrat", action="store_true",
+        help="replicate the reference pop_strat_corrector verbatim "
+             "(forced standardize incl. its row-index-stddev bug, "
+             "reference glm_irls, raw likelihood products with the "
+             "0.001/1.0 underflow fallback) for A/B against reference "
+             "kmdiff outputs; slower (host per-k-mer fits) and "
+             "statistically worse than the default batched path.",
+    )
     # dev flags (reference: hidden params, src/cli.cpp:300-357)
     dp.add_argument("--learning-rate", type=float, default=0.1)
     dp.add_argument("--max-iteration", type=int, default=500)
@@ -355,6 +364,7 @@ def _dispatch(args) -> int:
             in_memory=args.in_memory,
             kff=args.kff_output,
             pop_correction=args.pop_correction,
+            compat_popstrat=args.compat_popstrat,
             kmer_pca=args.kmer_pca,
             ploidy=args.ploidy,
             is_diploid=args.ploidy == 2,

@@ -52,6 +52,13 @@ class DiffOptions:
     in_memory: bool = False
     kff: bool = False
     pop_correction: bool = False
+    #: replicate the reference pop_strat_corrector VERBATIM for A/B runs:
+    #: forced (buggy) standardize, reference glm_irls, raw likelihood
+    #: products with the 0.001/1.0 underflow hack (popstrat.hpp:249-333,
+    #: src/popstrat.cpp:325-370). The default path fixes those bugs and
+    #: batches the fits on device; this switch exists to compare against
+    #: reference-kmdiff outputs.
+    compat_popstrat: bool = False
     kmer_pca: float = 0.001
     ploidy: int = 2
     is_diploid: bool = True
@@ -77,6 +84,7 @@ class DiffOptions:
 
 _MANIFEST_FIELDS = (
     "threshold", "cutoff", "pop_correction", "kmer_pca", "npc", "total_kmers",
+    "compat_popstrat",
 )
 
 
@@ -107,6 +115,8 @@ def compare_options(opt: DiffOptions, prev: DiffOptions) -> int:
         if opt.kmer_pca != prev.kmer_pca:
             r |= REDO_MERGE | REDO_POP
         if opt.npc != prev.npc:
+            r |= REDO_POP
+        if opt.compat_popstrat != prev.compat_popstrat:
             r |= REDO_POP
     if not prev.pop_correction and opt.pop_correction:
         r |= REDO_MERGE | REDO_POP

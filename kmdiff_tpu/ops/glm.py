@@ -36,7 +36,7 @@ def default_dtype():
     return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
-def _irls_single(Xi, y, max_iters: int, dt, g_floor):
+def _irls_single(Xi, y, max_iters: int, dt, g_floor, eps_conv=_EPS_CONV):
     """One logistic IRLS fit (the reference's glm_irls semantics); the
     batched entry points vmap this body."""
     n, F = Xi.shape
@@ -54,7 +54,7 @@ def _irls_single(Xi, y, max_iters: int, dt, g_floor):
         g = mu * (1.0 - mu)
         good = g > g_floor
         error = jnp.mean((y - mu) ** 2)
-        converged = (jnp.abs(error - prev_error) < _EPS_CONV) | (~good.any())
+        converged = (jnp.abs(error - prev_error) < eps_conv) | (~good.any())
 
         gz = jnp.where(good, g * eta + (y - mu), 0.0)  # g*z, masked
         gw = jnp.where(good, g, 0.0)
@@ -87,8 +87,9 @@ def _irls_single(Xi, y, max_iters: int, dt, g_floor):
     return w, err, iters
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def batched_irls(X: jax.Array, y: jax.Array, max_iters: int = 500):
+@functools.partial(jax.jit, static_argnames=("max_iters", "eps_conv"))
+def batched_irls(X: jax.Array, y: jax.Array, max_iters: int = 500,
+                 eps_conv: float = _EPS_CONV):
     """IRLS over a batch of design matrices.
 
     X: [B, n, F] — per-k-mer features (only the last column differs
@@ -100,7 +101,7 @@ def batched_irls(X: jax.Array, y: jax.Array, max_iters: int = 500):
     y = y.astype(dt)
     g_floor = jnp.asarray(_G_FLOOR if dt == jnp.float64 else 1e-30, dt)
     return jax.vmap(
-        lambda Xi: _irls_single(Xi, y, max_iters, dt, g_floor)
+        lambda Xi: _irls_single(Xi, y, max_iters, dt, g_floor, eps_conv)
     )(X)
 
 

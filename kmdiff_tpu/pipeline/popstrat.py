@@ -30,6 +30,13 @@ behavior instead):
     by its own stddev. The reference also force-enables standardization
     (s_stand=true cannot be unset, popstrat.hpp:150-176 set_params);
     we honor --stand (default off, like the CLI flag suggests).
+
+`--compat-popstrat` disables both fixes and replicates the reference
+verbatim for A/B runs: forced buggy standardize, reference glm_irls per
+k-mer (core.linear_model), raw per-sample likelihood PRODUCTS with the
+0.001/1.0 both-underflow fallback, s_epsilon=1e-30, s_max_iter=100
+(popstrat.hpp:147-176, 249-333). Gender-known cohorts drop the totals
+column exactly like the reference's overflowing write effectively does.
 """
 
 from __future__ import annotations
@@ -215,6 +222,40 @@ def load_covariates_file(path: str, nb_samples: int) -> np.ndarray | None:
     return raw.reshape(nb_samples, len(raw) // nb_samples)
 
 
+def _compat_standardize(null: np.ndarray, alt: np.ndarray) -> None:
+    """The reference standardize() with VERBATIM semantics, bugs included
+    (src/popstrat.cpp:325-369): column means divided by the COLUMN count
+    (not the row count), and each row i divided by stddev[i] — the stddev
+    of COLUMN i — so row 0 and rows past the feature count are left
+    unscaled. In-place on both matrices; alt's last (ratio) column is not
+    touched (the reference loop bounds at ncols(null))."""
+    n, F = null.shape
+    means = null.sum(axis=0)
+    means[1:] = means[1:] / F  # reference divides by ncols, not nrows
+    stddev = np.zeros(max(n, F))
+    for j in range(1, F):
+        stddev[j] = np.sqrt(((null[:, j] - means[j]) ** 2).sum() / n)
+    for i in range(n):
+        s = stddev[i]
+        if abs(s) > 1e-305:
+            null[i, 1:] = (null[i, 1:] - means[1:F]) / s
+            alt[i, 1:F] = (alt[i, 1:F] - means[1:F]) / s
+
+
+def _likelihood_product(features: np.ndarray, model: np.ndarray,
+                        y: np.ndarray) -> float:
+    """Raw per-sample likelihood product in the reference's sequential
+    accumulation order (popstrat.hpp:267-310) — underflows to 0.0 for
+    large cohorts exactly like the reference does."""
+    from kmdiff_tpu.core.linear_model import predict
+
+    out = 1.0
+    for f in range(len(features)):
+        p = predict(model, features[f])
+        out = out * (p if y[f] == 1 else 1.0 - p)
+    return out
+
+
 class PopStratCorrector:
     """Null/alt logistic LRT corrector (reference: pop_strat_corrector,
     popstrat.hpp:147-367, src/popstrat.cpp:136-370)."""
@@ -222,7 +263,9 @@ class PopStratCorrector:
     def __init__(self, nb_controls: int, nb_cases: int, total_controls,
                  total_cases, npc: int, *, stand: bool = False,
                  irls: bool = True, learning_rate: float = 0.1,
-                 max_iteration: int = 500, epsilon: float = 1e-7):
+                 max_iteration: int = 500, epsilon: float = 1e-7,
+                 compat: bool = False):
+        self.compat = compat
         self.nb_controls = nb_controls
         self.nb_cases = nb_cases
         self.size = nb_controls + nb_cases
@@ -266,8 +309,26 @@ class PopStratCorrector:
             cols.append(self.C)
         if self.ginfo is not None:
             cols.append(self.ginfo[:, None])
-        cols.append(self.totals[:, None])
+            if not self.compat:
+                cols.append(self.totals[:, None])
+            # compat: the reference writes totals one slot PAST the null
+            # row when gender is known (popstrat.cpp:298-306) and the alt
+            # slot it lands in is then overwritten by the ratio column
+            # (popstrat.hpp:252-257) — totals are effectively dropped
+        else:
+            cols.append(self.totals[:, None])
         null = np.column_stack(cols)
+
+        if self.compat:
+            # alt = null + the per-k-mer ratio slot, BEFORE standardize so
+            # the shared columns transform together (reference order:
+            # init_global_features fills both, then standardize())
+            alt = np.column_stack([null, np.zeros(self.size)])
+            _compat_standardize(null, alt)
+            self.null_features = null
+            self.alt_features = alt
+            self._compat_fit_null()
+            return
 
         if self.stand:
             mean = null[:, 1:].mean(axis=0)
@@ -312,6 +373,63 @@ class PopStratCorrector:
                     np.sum(np.where(self.Y == 1, np.log(p), np.log1p(-p)))
                 )
 
+    # -- compat (reference-verbatim) path --------------------------------------
+
+    def _compat_max_iter(self) -> int:
+        # reference default s_max_iter=100; our CLI default is 500, which
+        # in compat means "unset" (the reference setter only overrides on
+        # a nonzero --max-iteration, popstrat.hpp:168-176)
+        return self.max_iteration if self.max_iteration != 500 else 100
+
+    def _compat_epsilon(self) -> float:
+        # reference default s_epsilon=1e-30 (ours is 1e-7 = "unset" here)
+        return self.epsilon if self.epsilon != 1e-7 else 1e-30
+
+    def _compat_fit_null(self) -> None:
+        from kmdiff_tpu.core.linear_model import glm_irls
+
+        model, singular, nan, _err, _it = glm_irls(
+            self.null_features, self.Y, self._compat_max_iter()
+        )
+        if singular or nan:
+            logger.warning("compat null logistic fit hit a singular Hessian.")
+        self.null_model = model
+        self._null_prod = _likelihood_product(
+            self.null_features, model, self.Y
+        )
+        # log-likelihood kept for the persisted-fit manifest only
+        with np.errstate(divide="ignore"):
+            self.null_loglik = float(np.log(max(self._null_prod, 1e-320)))
+
+    def _compat_correct_block(self, block: KmerSignBlock) -> None:
+        """Per-k-mer scalar fits with the reference's exact semantics
+        (popstrat.hpp:249-333): glm_irls on [shared | ratio] features, raw
+        per-sample likelihood products, the 0.001/1.0 both-zero fallback,
+        LLR clips with s_epsilon, chi^2_1. Host-sequential by design —
+        this is an A/B diagnostic mode, not the performance path."""
+        from kmdiff_tpu.core.linear_model import glm_irls
+
+        ratios = block.counts_ratio / self.totals[None, :]
+        max_iter = self._compat_max_iter()
+        eps = self._compat_epsilon()
+        for r in range(len(block)):
+            feats = self.alt_features.copy()
+            feats[:, -1] = ratios[r]
+            model, _sing, _nan, _err, _it = glm_irls(feats, self.Y, max_iter)
+            alt_prod = _likelihood_product(feats, model, self.Y)
+            null_prod = self._null_prod
+            if null_prod == 0.0 and alt_prod == 0.0:
+                null_prod, alt_prod = 0.001, 1.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # np.float64 division: alt_prod alone underflowing to 0
+                # gives IEEE inf -> llr=-inf -> clipped to 0 below, the
+                # reference's C++ flow (popstrat.hpp:318-332) — a Python
+                # float here would raise ZeroDivisionError instead
+                llr = -2.0 * np.log(np.float64(null_prod) / np.float64(alt_prod))
+            if abs(llr) < eps or llr < 0.0 or np.isnan(alt_prod):
+                llr = 0.0
+            block.pvalues[r] = chi2_sf1(llr)
+
     # -- batched correction ---------------------------------------------------
 
     #: alt fits per device dispatch: bounds HBM ([CHUNK, n, F] tensors) and
@@ -341,6 +459,9 @@ class PopStratCorrector:
             return
         if block.counts_ratio is None:
             raise ValueError("popstrat needs count-carrying accumulators")
+        if self.compat:
+            self._compat_correct_block(block)
+            return
         dt = default_dtype()
         yd = jnp.asarray(self.Y, dtype=dt)
         Xb = jnp.asarray(self.alt_features, dtype=dt)  # shared [n, F]
@@ -438,6 +559,7 @@ def fit_corrector(opt, config, pop_dir: str) -> PopStratCorrector:
         alt_features=corr.alt_features,
         null_model=corr.null_model,
         null_loglik=np.float64(corr.null_loglik),
+        null_prod=np.float64(getattr(corr, "_null_prod", 0.0)),
     )
     return corr
 
@@ -458,6 +580,8 @@ def load_corrector(opt, config, pop_dir: str) -> PopStratCorrector:
         corr.alt_features = fit["alt_features"]
         corr.null_model = fit["null_model"]
         corr.null_loglik = float(fit["null_loglik"])
+        if "null_prod" in fit:
+            corr._null_prod = float(fit["null_prod"])
     return corr
 
 
@@ -466,6 +590,7 @@ def _make_corrector(opt, total_controls, total_cases) -> PopStratCorrector:
         opt.nb_controls, opt.nb_cases, total_controls, total_cases, opt.npc,
         stand=opt.stand, irls=opt.irls, learning_rate=opt.learning_rate,
         max_iteration=opt.max_iteration, epsilon=opt.epsilon,
+        compat=getattr(opt, "compat_popstrat", False),
     )
 
 
