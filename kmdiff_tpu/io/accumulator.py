@@ -165,6 +165,11 @@ class FileAccumulator(IAccumulator):
     File layout: MAGIC | u32 kmer_size | u32 n_words | u32 nb_samples |
     LZ4 frame of concatenated blocks, each:
       u64 n | kmers | pvalues | signs | mean_control | mean_case | ratios?
+
+    Spills are written under `<path>.part` and renamed to `path` on
+    finish(): a crash mid-spill leaves no file at the final name, so a
+    resume's partitions_exist probe never re-opens a truncated spill (the
+    reference probes bare existence and would, src/accumulator.cpp:9-17).
     """
 
     def __init__(self, path: str, kmer_size: int, read: bool = False,
@@ -184,7 +189,7 @@ class FileAccumulator(IAccumulator):
         if read:
             self._open_read()
         else:
-            self._raw = open(path, "wb")
+            self._raw = open(path + ".part", "wb")
             self._raw.write(MAGIC)
             self._raw.write(struct.pack("<III", kmer_size, self.n_words, nb_samples))
             # 1 MiB blocks: spills are our own format (no kmtricks reader
@@ -224,6 +229,7 @@ class FileAccumulator(IAccumulator):
             self._writer.close()
             self._raw.close()
             self._writer = None
+            os.replace(self.path + ".part", self.path)
         self._open_read()
         self._reading = True
 
@@ -254,12 +260,15 @@ class FileAccumulator(IAccumulator):
         return self._n
 
     def destroy(self):
+        dangling_part = self._writer is not None
         if self._writer is not None:
             self._writer.close()
             self._writer = None
         if self._raw is not None:
             self._raw.close()
             self._raw = None
+        if dangling_part and os.path.exists(self.path + ".part"):
+            os.remove(self.path + ".part")  # never-finished spill
         if self.delete_on_destroy and os.path.exists(self.path):
             os.remove(self.path)
 

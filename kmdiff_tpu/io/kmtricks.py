@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from kmdiff_tpu.io.lz4 import Lz4FrameWriter, frame_read_all
+from kmdiff_tpu.io.lz4 import Lz4FrameReader, Lz4FrameWriter, frame_read_all
 from kmdiff_tpu.utils.exceptions import ConfigError, FormatError
 from kmdiff_tpu.core.kmer import n_words
 
@@ -455,6 +455,68 @@ def get_matrix_paths(run_dir: str) -> list[str]:
 # km::MatrixWriter). Header mirrors the kmer file with type "matrix" and the
 # slot count equal to the number of samples.
 # ---------------------------------------------------------------------------
+
+#: decoded rows per streamed matrix block; env knob so tests can force tiny
+#: blocks through the streaming path
+MATRIX_STREAM_ROWS = int(os.environ.get("KMDIFF_MATRIX_STREAM_ROWS", 1 << 21))
+
+
+def open_matrix_stream(
+    path: str, rows_per_block: int | None = None
+) -> tuple[KmerFileInfo, "object"]:
+    """Constant-memory matrix reader: (info, generator of (kmers, counts)
+    blocks of ≤ rows_per_block rows, in file order).
+
+    The reference streams prebuilt matrices row-by-row through
+    km::MatrixReader (matrix_proxy, merge.hpp:319-432) precisely so
+    billion-row matrices never materialize; this is the block equivalent —
+    the LZ4 frame decodes block-by-block (linked frames ride the native
+    continue-decoder's 64 KiB window) and records are sliced off a bounded
+    carry buffer.
+    """
+    rows = rows_per_block or MATRIX_STREAM_ROWS
+    f = open(path, "rb")
+    try:
+        head = _read_header(f)
+        if head["type"] not in ("matrix", "kmer"):
+            raise FormatError(f"{path}: expected matrix file, got {head['type']}")
+        ksize, slots, cbytes, sidx, part = struct.unpack("<IIIII", f.read(20))
+        info = KmerFileInfo(ksize, slots, cbytes, sidx, part, head["compressed"])
+        nw = n_words(ksize)
+        if cbytes not in _COUNT_DTYPES or slots <= 0 or not (1 <= nw <= 4):
+            raise FormatError(f"{path}: bad record layout")
+    except BaseException:
+        f.close()
+        raise
+    rec = nw * 8 + cbytes * slots
+
+    def blocks():
+        try:
+            src = Lz4FrameReader(f) if info.compressed else f
+            pending = b""
+            while True:
+                want = rows * rec - len(pending)
+                data = src.read(want)
+                buf = pending + data
+                n = len(buf) // rec
+                pending = buf[n * rec :]
+                if n:
+                    kmers, counts = _decode_records(
+                        buf[: n * rec], nw, cbytes, slots, path
+                    )
+                    yield kmers, counts.reshape(n, slots)
+                if len(data) < want:  # EOF
+                    if pending:
+                        raise FormatError(
+                            f"{path}: trailing {len(pending)} bytes are not "
+                            f"a whole record"
+                        )
+                    return
+        finally:
+            f.close()
+
+    return info, blocks()
+
 
 def read_matrix_file(path: str) -> tuple[KmerFileInfo, np.ndarray, np.ndarray]:
     with open(path, "rb") as f:

@@ -199,6 +199,20 @@ class Lz4FrameReader:
         self._eof = False
         self._buf = b""
         self._pos = 0
+        # block-LINKED frames need the previous 64 KiB of decoded output
+        # as match history; the native continue-decoder provides that
+        # (streaming stays O(64K + block) instead of whole-frame)
+        self._window = b""
+        if not self.block_indep:
+            try:
+                from kmdiff_tpu.native import lz4_decompress_block_continue
+
+                self._linked_decode = lz4_decompress_block_continue
+            except ImportError:
+                raise FormatError(
+                    "block-linked LZ4 frame needs the native codec for "
+                    "streaming reads (build kmdiff_tpu/native)"
+                )
 
     def _read_exact(self, n: int) -> bytes:
         data = self.f.read(n)
@@ -220,7 +234,16 @@ class Lz4FrameReader:
         data = self._read_exact(size)
         if self.block_checksum:
             self._read_exact(4)
-        return data if uncompressed else decompress_block(data)
+        if uncompressed:
+            out = data
+        elif self.block_indep:
+            out = decompress_block(data)
+        else:
+            out = self._linked_decode(data, self._window, self.max_block_size)
+        if not self.block_indep:
+            # keep the trailing 64 KiB as match history for the next block
+            self._window = (self._window + out)[-65536:]
+        return out
 
     def read(self, n: int = -1) -> bytes:
         chunks = []

@@ -46,6 +46,11 @@ def _load():
     ]
     lib.lz4_compress_bound.restype = ctypes.c_long
     lib.lz4_compress_bound.argtypes = [ctypes.c_long]
+    lib.lz4_decompress_block_continue.restype = ctypes.c_long
+    lib.lz4_decompress_block_continue.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long,
+    ]
     lib.lz4_frame_decompress.restype = ctypes.c_long
     lib.lz4_frame_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
@@ -118,6 +123,26 @@ def lz4_compress_block(src: bytes) -> bytes:
 
         raise FormatError("LZ4 compression failed (buffer bound)")
     return buf.raw[:n]
+
+
+def lz4_decompress_block_continue(src: bytes, window: bytes,
+                                  max_out: int | None = None) -> bytes:
+    """Decode one block of a block-LINKED LZ4 frame given the previous
+    ≤64 KiB of decoded history. Returns the new bytes only."""
+    hist = len(window)
+    cap = hist + (max_out if max_out else max(len(src) * 4, 1 << 16))
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        buf[:hist] = window
+        n = _LIB.lz4_decompress_block_continue(src, len(src), buf, hist, cap)
+        if n >= 0:
+            return buf.raw[hist : hist + n]
+        if n == -2 and not max_out and cap < (1 << 31):
+            cap = hist + (cap - hist) * 4
+            continue
+        from kmdiff_tpu.utils.exceptions import FormatError
+
+        raise FormatError(f"corrupt LZ4 linked block (native rc={n})")
 
 
 def _lz4_frame_content_size(src) -> int | None:

@@ -201,6 +201,18 @@ long lz4_frame_decompress(const uint8_t* src, long src_len, uint8_t* dst,
   return pos;
 }
 
+// Decompress one block of a block-LINKED frame for the STREAMING reader:
+// `buf` holds `hist_len` bytes of previously-decoded history at its start;
+// the block decodes into buf+hist_len (capacity dst_cap total including the
+// history) and its matches may reach back into the window. Returns bytes
+// written past the history, or -1 malformed / -2 overflow.
+long lz4_decompress_block_continue(const uint8_t* src, long src_len,
+                                   uint8_t* buf, long hist_len,
+                                   long dst_cap) {
+  if (hist_len < 0 || hist_len > dst_cap) return -1;
+  return decompress_block_at(src, src_len, buf, hist_len, dst_cap);
+}
+
 // Worst-case frame size for lz4_frame_compress (headers + per-block bound).
 long lz4_frame_compress_bound(long n, long block_size) {
   if (block_size <= 0) block_size = 1 << 16;

@@ -217,8 +217,11 @@ def count_sort_rle_lanes(lanes, max_distinct: int):
     fetched k-mers and stable-sorts by them — which preserves the
     per-partition k-mer order (pipeline.count._fetch_counted).
 
-    Returns (n_distinct i32, lanes_d tuple, counts [max_distinct]);
-    host slices by n_distinct (retry with a larger cap on overflow).
+    Returns (n_distinct i32, max_count u32, lanes_d tuple,
+    counts [max_distinct]); host slices by n_distinct (retry with a larger
+    cap on overflow). max_count rides the same dispatch so the host can
+    pick the narrow fetch dtype without an extra device round-trip
+    (pipeline.count._fetch_counts_narrow).
     """
     return sort_rle_core(lanes, max_distinct)
 
@@ -269,6 +272,10 @@ def sort_rle_core(lanes, max_distinct: int):
     counts_row = jnp.where(
         is_start, (se - jnp.minimum(idx, n_valid)).astype(jnp.uint32), 0
     )
+    # max count in the SAME dispatch: the host reads it alongside
+    # n_distinct and picks the narrow count-fetch dtype without paying a
+    # separate .max() dispatch round-trip (~25-30 ms on sync-dispatch rigs)
+    max_count = jnp.max(counts_row)
     key = jnp.where(is_start, idx, jnp.int32(N))
     r = jax.lax.sort((key, *lanes_s, counts_row), num_keys=L + 2)
     # output shape contract is exactly [max_distinct] (the mesh gather
@@ -282,6 +289,7 @@ def sort_rle_core(lanes, max_distinct: int):
         return x
     return (
         n_distinct,
+        max_count,
         tuple(out(x, 0xFFFFFFFF) for x in r[1 : L + 1]),
         out(r[L + 1], 0),
     )

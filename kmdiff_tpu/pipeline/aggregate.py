@@ -141,7 +141,11 @@ class Aggregator:
     SORT_BUDGET_ROWS = 1 << 23
 
     def _run_sorted(self, out: _OutputPair) -> None:
-        budget = self.SORT_BUDGET_ROWS
+        # env override (read per run) lets the dryrun/stress harness force
+        # the spill-and-merge path on tiny cohorts
+        budget = int(
+            os.environ.get("KMDIFF_AGG_SORT_ROWS", self.SORT_BUDGET_ROWS)
+        )
         runs: list[str] = []
         pending: list[KmerSignBlock] = []
         pending_rows = 0

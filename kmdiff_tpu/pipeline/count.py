@@ -185,14 +185,14 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
         W = pad_to - k + 1
         max_distinct = max(1 << 14, W >> 2)
         while True:
-            n_distinct, lanes_d, counts = fused_count_kernel(
+            n_distinct, max_count, lanes_d, counts = fused_count_kernel(
                 jnp.asarray(codes), k, max_distinct
             )
             U = int(n_distinct)
             if U <= max_distinct:
                 break
             max_distinct = 1 << max(U - 1, 1).bit_length()
-        return _fetch_counted(U, lanes_d, counts, nb_partitions)
+        return _fetch_counted(U, lanes_d, counts, nb_partitions, max_count)
 
     blocks = []
     for codes in all_codes:
@@ -245,14 +245,14 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
         # distinct-count cap: start assuming >=4x duplication, retry exact
         max_distinct = min(P, max(1 << 14, P >> 2))
         while True:
-            n_distinct, lanes_d, counts = count_sort_rle_lanes(
+            n_distinct, max_count, lanes_d, counts = count_sort_rle_lanes(
                 tuple(lanes), max_distinct
             )
             U = int(n_distinct)
             if U <= max_distinct:
                 break
             max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
-        streams.append(_fetch_stream(U, lanes_d, counts))
+        streams.append(_fetch_stream(U, lanes_d, counts, max_count))
 
     if len(streams) == 1:
         kmers, counts_h = streams[0]
@@ -261,7 +261,7 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
-def _fetch_stream(U, lanes_d, counts):
+def _fetch_stream(U, lanes_d, counts, max_count=None):
     """D2H discipline for slow uplinks: slice device-side at pow2
     granularity (bounded compiled-shape set) so at most 2U rows leave,
     then fetch chunk-parallel (utils.transfer). Returns the k-mer-sorted
@@ -270,7 +270,7 @@ def _fetch_stream(U, lanes_d, counts):
     from kmdiff_tpu.utils.transfer import fetch_prefix
 
     kmers = lanes_to_words(tuple(fetch_prefix(l, U) for l in lanes_d))
-    return kmers, _fetch_counts_narrow(counts, U)
+    return kmers, _fetch_counts_narrow(counts, U, max_count)
 
 
 def _merge_streams(streams):
@@ -326,23 +326,32 @@ def _regroup_by_partition(kmers, counts, nb_partitions):
     return kmers[order], parts[order], counts[order]
 
 
-def _fetch_counted(U, lanes_d, counts, nb_partitions):
-    kmers, counts_h = _fetch_stream(U, lanes_d, counts)
+def _fetch_counted(U, lanes_d, counts, nb_partitions, max_count=None):
+    kmers, counts_h = _fetch_stream(U, lanes_d, counts, max_count)
     return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
-def _fetch_counts_narrow(counts_d, U) -> np.ndarray:
+def _fetch_counts_narrow(counts_d, U, max_count=None) -> np.ndarray:
     """Fetch distinct-k-mer counts at the narrowest dtype their max fits
     (the same u8/u16/u32 ladder the count files use, io.kmtricks.
     count_dtype_for) — counts are the second-largest slice of counting
     D2H and almost always fit a byte. Pad slots are zero, so the device
     max is the true max; the width check precedes the cast, so no value
-    can wrap. Host widens back to the uint32 contract."""
+    can wrap. Host widens back to the uint32 contract.
+
+    max_count: the kernel's fused max (ops.codec.sort_rle_core) — reading
+    it is a plain scalar D2H; computing .max() here would be a separate
+    dispatch (~25-30 ms round-trip on sync-dispatch rigs, per chunk)."""
     import jax.numpy as jnp
 
     from kmdiff_tpu.utils.transfer import fetch_prefix
 
-    mx = int(counts_d.max()) if U else 0
+    if not U:
+        mx = 0
+    elif max_count is not None:
+        mx = int(max_count)
+    else:
+        mx = int(counts_d.max())
     if mx < (1 << 8):
         narrow = jnp.uint8
     elif mx < (1 << 16):
@@ -404,7 +413,7 @@ def count_sample_device_mesh(
         kern = make_sharded_count_kernel(
             mesh, k, nb_partitions, bucket_cap, max_distinct
         )
-        n_dist, n_drop, lanes_d, counts_d = kern(codes_dev)
+        n_dist, n_drop, _max_count, lanes_d, counts_d = kern(codes_dev)
         n_dist = np.asarray(n_dist)
         if int(np.asarray(n_drop)[0]) > 0:
             bucket_cap *= 2

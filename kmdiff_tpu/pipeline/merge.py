@@ -38,7 +38,7 @@ import numpy as np
 
 from kmdiff_tpu.core.model import IModel, PoissonLikelihood, Significance
 from kmdiff_tpu.io.accumulator import IAccumulator, KmerSignBlock
-from kmdiff_tpu.io.kmtricks import read_kmer_file, read_matrix_file
+from kmdiff_tpu.io.kmtricks import read_kmer_file
 from kmdiff_tpu.ops.lrt import LrtParams, run_filter
 
 #: device tile height; fixed so the jitted kernel compiles once
@@ -278,8 +278,55 @@ class PartitionProcessor:
     def process_matrix(
         self, partition: int, path: str, acc: IAccumulator
     ) -> PartitionResult:
-        info, kmers, counts = read_matrix_file(path)
-        return self.process_arrays(partition, kmers, counts, acc, info.kmer_size)
+        """Stream a prebuilt count matrix in bounded row blocks (the
+        reference streams via km::MatrixReader, matrix_proxy
+        merge.hpp:319-432): memory stays O(block), not O(file). Rows are
+        already merged (one distinct k-mer per row), so each block goes
+        straight to scoring; sampled geno rows and --save-sk survivors
+        accumulate across blocks (both are small sub-streams)."""
+        from kmdiff_tpu.io.kmtricks import open_matrix_stream
+
+        info, blocks = open_matrix_stream(path)
+        total = nsign = n_ctrl = n_case = 0
+        sink = [] if self.save_matrix_path is not None else None
+        geno_parts: list[np.ndarray] = []
+        for kmers, counts in blocks:
+            if self.sampler is not None:
+                from kmdiff_tpu.pipeline.popstrat import sample_mask
+
+                mask = sample_mask(kmers, self.sampler.rate, self.sampler.seed)
+                geno_parts.append((counts[mask] > 0).astype(np.uint8))
+            block, idx, nc, nk = self._score_block(kmers, counts)
+            if sink is not None:
+                sink.append((kmers[idx], counts[idx].astype(np.uint32)))
+            acc.push_block(block)
+            total += len(counts)
+            nsign += len(block)
+            n_ctrl += nc
+            n_case += nk
+        if self.sampler is not None:
+            rows = (
+                np.concatenate(geno_parts)
+                if geno_parts
+                else np.zeros((0, info.count_slots), np.uint8)
+            )
+            self.sampler.add_sampled(partition, rows)
+        if sink is not None and info.kmer_size:
+            from kmdiff_tpu.core.kmer import n_words
+
+            km = (
+                np.concatenate([s[0] for s in sink])
+                if sink
+                else np.zeros((0, n_words(info.kmer_size)), np.uint64)
+            )
+            ct = (
+                np.concatenate([s[1] for s in sink])
+                if sink
+                else np.zeros((0, info.count_slots), np.uint32)
+            )
+            self._write_matrix(partition, km, ct, info.kmer_size)
+        acc.finish()
+        return PartitionResult(partition, total, nsign, n_ctrl, n_case)
 
     def _process_device_merge(
         self, partition, kmers_list, counts_list, acc, ksize
@@ -447,7 +494,14 @@ class PartitionProcessor:
     def _budgets(self, pad_to, want_geno, geno_rate):
         """Initial compaction capacities: nonzero(size=s) cost grows
         superlinearly in s on TPU, so start tight (real runs keep ~1e-6 of
-        rows at alpha/cutoff) and retry at the needed pow2 on overflow."""
+        rows at alpha/cutoff) and retry at the needed pow2 on overflow.
+
+        KMDIFF_MERGE_MAX_HITS (env, read per call) caps the STARTING
+        budgets so the overflow-retry path can be exercised through the
+        product entry points (dryrun/test stress harness); retries still
+        grow past the cap to whatever the data needs."""
+        import os
+
         tight = self.params.p_threshold <= 1e-3
         max_hits = min(pad_to, 1 << 14) if tight else pad_to
         max_geno = (
@@ -455,6 +509,11 @@ class PartitionProcessor:
             if want_geno
             else 1
         )
+        cap = os.environ.get("KMDIFF_MERGE_MAX_HITS")
+        if cap:
+            max_hits = max(1, min(max_hits, int(cap)))
+            if want_geno:
+                max_geno = max(1, min(max_geno, int(cap)))
         return max_hits, max_geno
 
     def _combine_sums(self, out, n_hits, wide):

@@ -130,3 +130,39 @@ def test_empty_push_ignored(tmp_path):
     acc.finish()
     assert acc.size() == 0
     assert list(acc.blocks()) == []
+
+
+def test_unfinished_spill_invisible_to_resume(tmp_path):
+    """A crash mid-spill must not leave a file at the final name: resume's
+    partitions_exist probe would re-open a TRUNCATED spill and die in the
+    LZ4 decoder mid-aggregation (observed with a killed popstrat pass).
+    Spills live at <path>.part until finish() renames them."""
+    from kmdiff_tpu.io.accumulator import (
+        FileAccumulator,
+        KmerSignBlock,
+        partitions_exist,
+    )
+
+    path = str(tmp_path / "p0_uncorrected")
+    acc = FileAccumulator(path, 21)
+    block = KmerSignBlock(
+        np.arange(4, dtype=np.uint64).reshape(4, 1),
+        np.full(4, 0.5), np.zeros(4, np.int8), np.ones(4), np.ones(4), None,
+    )
+    acc.push_block(block)
+    # "crash": no finish(); only the .part file exists
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".part")
+    assert not partitions_exist("{}/p{}_uncorrected", 1, str(tmp_path))
+
+    acc.destroy()  # abandoned write cleans its .part
+    assert not os.path.exists(path + ".part")
+
+    acc2 = FileAccumulator(path, 21)
+    acc2.push_block(block)
+    acc2.finish()
+    assert os.path.exists(path) and not os.path.exists(path + ".part")
+    assert partitions_exist("{}/p{}_uncorrected", 1, str(tmp_path))
+    got = list(acc2.blocks())
+    assert len(got) == 1 and len(got[0]) == 4
+    acc2.destroy()

@@ -361,3 +361,39 @@ def test_count_then_diff_k96(tmp_path):
         if tuple(string_to_packed(seq).tolist()) in canon_planted:
             hit += 1
     assert hit > 0
+
+
+def test_diff_matrix_streaming_bounded(fixture_dir, tmp_path, monkeypatch):
+    """The matrix path streams in bounded row blocks (reference:
+    matrix_proxy/km::MatrixReader, merge.hpp:319-432): forcing 7-row
+    blocks through the product path produces byte-identical outputs to
+    the whole-file read, proving block boundaries are invisible."""
+    import numpy as np
+
+    from kmdiff_tpu.io import kmtricks as kio
+    from kmdiff_tpu.pipeline.merge import merge_sorted_streams
+
+    mdir = tmp_path / "run"
+    shutil.copytree(fixture_dir, mdir)
+    os.makedirs(mdir / "matrices")
+    config = kio.read_config(str(fixture_dir))
+    for p, paths in enumerate(kio.get_partition_paths(str(fixture_dir), 4)):
+        kl, cl = [], []
+        for path in paths:
+            _i, km, ct = kio.read_kmer_file(path)
+            kl.append(km)
+            cl.append(ct)
+        kmers, counts = merge_sorted_streams(kl, cl)
+        kio.write_matrix_file(str(mdir / "matrices" / f"matrix_{p}.count.lz4"),
+                              kmers, counts, config.kmer_size, p)
+
+    res_big = main_diff(_opts(mdir, tmp_path / "out_big", threshold=0.5,
+                              cutoff=1.0, correction=CorrectionType.NOTHING))
+    monkeypatch.setattr(kio, "MATRIX_STREAM_ROWS", 7)
+    res_tiny = main_diff(_opts(mdir, tmp_path / "out_tiny", threshold=0.5,
+                               cutoff=1.0, correction=CorrectionType.NOTHING))
+    assert res_tiny == res_big
+    for f in ("control_kmers.fasta", "case_kmers.fasta"):
+        a = sorted(read_fasta(tmp_path / "out_big" / f))
+        b = sorted(read_fasta(tmp_path / "out_tiny" / f))
+        assert a == b and res_big["total_kmers"] == 320

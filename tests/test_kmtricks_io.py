@@ -121,3 +121,53 @@ def test_matrix_file_roundtrip(tmp_path):
     assert info.count_slots == 6
     assert np.array_equal(kmers, k2)
     assert np.array_equal(counts, c2)
+
+
+def test_matrix_stream_blocks_match_whole_read(tmp_path):
+    """open_matrix_stream with a tiny block size yields exactly the rows of
+    read_matrix_file, in order — the constant-memory path is lossless
+    (reference streams matrices via km::MatrixReader, merge.hpp:319-432)."""
+    rng = np.random.default_rng(11)
+    n = 1000
+    kmers = np.sort(rng.integers(0, 2**62, n, dtype=np.uint64))[:, None]
+    counts = rng.integers(0, 70000, (n, 5)).astype(np.uint32)
+    path = str(tmp_path / "matrix_1.count.lz4")
+    kio.write_matrix_file(path, kmers, counts, 31, partition=1)
+
+    info_w, kw, cw = kio.read_matrix_file(path)
+    info_s, blocks = kio.open_matrix_stream(path, rows_per_block=37)
+    assert (info_s.kmer_size, info_s.count_slots, info_s.count_bytes) == (
+        info_w.kmer_size, info_w.count_slots, info_w.count_bytes)
+    got_k, got_c, sizes = [], [], []
+    for bk, bc in blocks:
+        got_k.append(bk)
+        got_c.append(bc)
+        sizes.append(len(bk))
+    assert max(sizes) <= 37 and sum(sizes) == n
+    assert np.array_equal(np.concatenate(got_k), kw)
+    assert np.array_equal(np.concatenate(got_c), cw)
+
+
+def test_matrix_stream_uncompressed(tmp_path):
+    rng = np.random.default_rng(12)
+    kmers = np.sort(rng.integers(0, 2**62, 64, dtype=np.uint64))[:, None]
+    counts = rng.integers(0, 200, (64, 2)).astype(np.uint32)
+    path = str(tmp_path / "m.count")
+    kio.write_matrix_file(path, kmers, counts, 21, partition=0, compressed=False)
+    _info, blocks = kio.open_matrix_stream(path, rows_per_block=10)
+    k = np.concatenate([b[0] for b in blocks])
+    assert np.array_equal(k, kmers)
+
+
+def test_matrix_stream_trailing_garbage(tmp_path):
+    from kmdiff_tpu.utils.exceptions import FormatError
+
+    kmers = np.arange(8, dtype=np.uint64)[:, None]
+    counts = np.ones((8, 2), dtype=np.uint32)
+    path = str(tmp_path / "m.count")
+    kio.write_matrix_file(path, kmers, counts, 21, partition=0, compressed=False)
+    with open(path, "ab") as f:
+        f.write(b"\x01\x02\x03")  # not a whole record
+    _info, blocks = kio.open_matrix_stream(path, rows_per_block=4)
+    with pytest.raises(FormatError, match="whole record"):
+        list(blocks)

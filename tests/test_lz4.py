@@ -205,3 +205,50 @@ def test_read_kmer_file_rejects_bad_header(tmp_path):
         f.write(b"\x00" * 32)  # 2 records of 16 bytes
     with pytest.raises(FormatError):
         read_kmer_file(str(p))
+
+
+def test_streaming_reader_block_linked():
+    """Lz4FrameReader streams block-LINKED frames too: the native
+    continue-decoder carries the 64 KiB match window between blocks, so
+    the streaming output equals the native whole-frame decode."""
+    import struct
+
+    from kmdiff_tpu.utils.xxhash import xxh32
+
+    data = _random_compressible(300, seed=7) * 40
+    b1 = data[:6000]
+    b2_src = data[6000:12000]
+    lit = b2_src[:12]
+    mlen = len(b2_src) - 12 - 5
+    tail = b2_src[12 + mlen:]
+    seq = bytearray()
+    seq.append((12 << 4) | 15)
+    seq += lit
+    seq += struct.pack("<H", 6000)  # match reaches into block 1
+    rest = mlen - 4 - 15
+    while rest >= 255:
+        seq.append(255)
+        rest -= 255
+    seq.append(rest)
+    seq.append(len(tail) << 4)
+    seq += tail
+    flg = 1 << 6  # version 1, block-LINKED
+    hdr = bytes([flg, 4 << 4])
+    frame = struct.pack("<I", 0x184D2204) + hdr
+    frame += bytes([(xxh32(hdr) >> 8) & 0xFF])
+    frame += struct.pack("<I", len(b1) | 0x80000000) + b1
+    frame += struct.pack("<I", len(seq)) + bytes(seq)
+    frame += struct.pack("<I", 0)
+
+    whole = native.lz4_frame_decompress(frame).tobytes()
+    assert whole == data[:12000]
+    r = Lz4FrameReader(io.BytesIO(frame))
+    # drain in small reads to prove the window survives partial consumption
+    out, chunks = b"", 0
+    while True:
+        c = r.read(777)
+        if not c:
+            break
+        out += c
+        chunks += 1
+    assert chunks > 1 and out == whole
