@@ -154,11 +154,7 @@ def measure_device_merge() -> float:
         o = merge_lrt_kernel(
             lanes_d, sample_d, count_d + jnp.uint16(carry % 2), **kw
         )
-        acc = o["n_distinct"] + o["n_hits"]
-        for lane in o["hit_lanes"]:
-            acc = acc + lane.astype(jnp.int32).sum()
-        for key in ("hit_sc", "hit_sk"):
-            acc = acc + o[key].sum()
+        acc = o["meta"].sum() + o["hit_blob"].astype(jnp.int32).sum()
         return acc.astype(jnp.int32)
 
     iters = 3 if QUICK else 12
@@ -170,7 +166,40 @@ def measure_device_merge() -> float:
     log(f"[bench] device {dev.platform}:{dev.id} merge+LRT kernel: "
         f"{v:.3e} distinct kmers tested/s ({N} triples x {S} samples, "
         f"{iters} chained iters, {dt*1e3:.1f} ms/iter)")
-    return v
+
+    # interleaved A/B: quantile-ranged batched sub-sorts vs the flat sort
+    # (same bytes, fewer comparator passes; ops.merge_dev range_rows)
+    from kmdiff_tpu.ops.merge_dev import build_triples_packed_ranged
+
+    res = build_triples_packed_ranged(
+        kmers, counts, N, 10, pack16=True,
+        target_range=1 << (14 if QUICK else 17),
+    )
+    best = v
+    if res is not None:
+        lanes_r, count_r, _n, M = res
+        lanes_rd = tuple(jnp.asarray(l.copy()) for l in lanes_r)
+        count_rd = jnp.asarray(count_r.copy())
+
+        def step_r(carry):
+            o = merge_lrt_kernel(
+                lanes_rd, sample_d, count_rd + jnp.uint16(carry % 2),
+                range_rows=M, **kw
+            )
+            acc = o["meta"].sum() + o["hit_blob"].astype(jnp.int32).sum()
+            return acc.astype(jnp.int32)
+
+        dt_r = _timed_chain(step_r, iters)
+        dt2 = _timed_chain(step, iters)  # flat again: drift control
+        v_r = n_distinct / dt_r
+        log(f"[bench] ranged-sort A/B: ranged {dt_r*1e3:.1f} ms/iter vs "
+            f"flat {dt*1e3:.1f}/{dt2*1e3:.1f} ms/iter "
+            f"(ranged/flat = {min(dt, dt2)/dt_r:.2f}x, R={N//M})")
+        if dt_r < min(dt, dt2):
+            best = v_r
+    else:
+        log("[bench] ranged-sort A/B skipped (build fell back)")
+    return best
 
 
 def measure_device_lrt() -> float:

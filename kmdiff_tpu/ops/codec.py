@@ -217,11 +217,13 @@ def count_sort_rle_lanes(lanes, max_distinct: int):
     fetched k-mers and stable-sorts by them — which preserves the
     per-partition k-mer order (pipeline.count._fetch_counted).
 
-    Returns (n_distinct i32, max_count u32, lanes_d tuple,
-    counts [max_distinct]); host slices by n_distinct (retry with a larger
-    cap on overflow). max_count rides the same dispatch so the host can
-    pick the narrow fetch dtype without an extra device round-trip
-    (pipeline.count._fetch_counts_narrow).
+    Returns (stats [2] i32 = (n_distinct, max_count),
+    lane_blob [max_distinct, L] u32, counts [max_distinct] u32); host
+    slices by n_distinct (retry with a larger cap on overflow). stats
+    rides the same dispatch AS ONE ARRAY so overflow check + narrow-fetch
+    dtype choice cost a single host read, and the lanes leave in a single
+    blob fetch (per-array reads each pay a dispatch round trip on
+    sync-dispatch rigs — pipeline.count._fetch_stream).
     """
     return sort_rle_core(lanes, max_distinct)
 
@@ -272,26 +274,27 @@ def sort_rle_core(lanes, max_distinct: int):
     counts_row = jnp.where(
         is_start, (se - jnp.minimum(idx, n_valid)).astype(jnp.uint32), 0
     )
-    # max count in the SAME dispatch: the host reads it alongside
-    # n_distinct and picks the narrow count-fetch dtype without paying a
-    # separate .max() dispatch round-trip (~25-30 ms on sync-dispatch rigs)
+    # max count in the SAME dispatch, stacked with n_distinct into ONE
+    # host-readable stats array: the overflow check and the narrow
+    # count-fetch dtype choice cost a single read instead of two scalar
+    # round-trips (~25-30 ms each on sync-dispatch rigs)
     max_count = jnp.max(counts_row)
+    stats = jnp.stack([n_distinct, max_count.astype(jnp.int32)])
     key = jnp.where(is_start, idx, jnp.int32(N))
     r = jax.lax.sort((key, *lanes_s, counts_row), num_keys=L + 2)
-    # output shape contract is exactly [max_distinct] (the mesh gather
-    # addresses per-device slot regions by it); pad when the input is
-    # smaller
+    # output shape contract is exactly [max_distinct] rows (the mesh
+    # gather addresses per-device slot regions by it); pad when the input
+    # is smaller
     pad = max(max_distinct - N, 0)
     def out(x, fill):
         x = x[:max_distinct]
         if pad:
             x = jnp.concatenate([x, jnp.full(pad, fill, x.dtype)])
         return x
-    return (
-        n_distinct,
-        max_count,
-        tuple(out(x, 0xFFFFFFFF) for x in r[1 : L + 1]),
-        out(r[L + 1], 0),
-    )
+    # lanes leave as one [max_distinct, L] blob: a single device-side
+    # slice + a single fetch per chunk instead of L of each
+    lane_blob = jnp.stack([out(r[1 + i], 0xFFFFFFFF) for i in range(L)],
+                          axis=1)
+    return (stats, lane_blob, out(r[L + 1], 0))
 
 

@@ -57,6 +57,7 @@ def merge_lrt_local(
     want_rows: bool = False,
     wide_sums: bool = False,
     packed_ctrl: bool = False,
+    range_rows: int = 0,
 ):
     """One partition's merged test, fully on device.
 
@@ -69,10 +70,20 @@ def merge_lrt_local(
     consumer masks them
 
     Returns dict with:
-      n_distinct, n_hits, n_geno          scalars (i32)
-      hit_lanes tuple of [max_hits] u32   survivor k-mers (slot-compacted)
-      hit_sc, hit_sk [max_hits] i32       survivor group sums (narrow)
-      hit_sc_hi/lo, hit_sk_hi/lo          16-bit-split group sums (wide)
+      meta [3] i32                        (n_distinct, n_hits, n_geno) —
+                                          ONE host read syncs the dispatch
+                                          and answers the overflow check
+                                          (3 scalar reads cost 3 round
+                                          trips on sync-dispatch rigs)
+      n_distinct, n_hits, n_geno          scalars (i32; the mesh step
+                                          psums these)
+      hit_blob [max_hits, R] u32          survivor rows, ONE fetch:
+                                          columns = L k-mer lanes then the
+                                          group sums (R = L+2 narrow
+                                          [sc, sk]; R = L+4 wide
+                                          [sc_hi, sc_lo, sk_hi, sk_lo]);
+                                          sums are non-negative i32 stored
+                                          as u32 bit patterns
       hit_rows [max_hits, S] i32          survivor per-sample count rows
                                           (want_rows; popstrat / save-sk)
       geno_rows [max_geno, S] u8          sampled presence rows (want_geno)
@@ -98,6 +109,23 @@ def merge_lrt_local(
     N = lanes[0].shape[0]
     L = len(lanes)
 
+    def _sort(arrs):
+        """All-keys sort; with range_rows set, the operands arrive
+        pre-grouped into N/range_rows key-DISJOINT ranges (host quantile
+        split, ops.merge_dev.build_triples_* ranged layout, each range
+        sentinel-padded to range_rows) and sort as a batch of independent
+        [R, range_rows] sub-sorts — fewer comparator passes than one
+        N-row sort for the same bytes. Flattening back preserves global
+        ascending key order because ranges are ascending and disjoint;
+        mid-array sentinel pads are masked exactly like tail pads (they
+        contribute zero to segment sums and are excluded from is_start)."""
+        if range_rows and N > range_rows:
+            R = N // range_rows
+            resh = tuple(a.reshape(R, range_rows) for a in arrs)
+            s = jax.lax.sort(resh, dimension=1, num_keys=len(arrs))
+            return tuple(x.reshape(N) for x in s)
+        return jax.lax.sort(arrs, num_keys=len(arrs))
+
     # every operand is a sort KEY: within a segment (equal lanes) the row
     # order is irrelevant to all downstream uses (segment sums, run-start
     # gathers, the at-most-one-row-per-sample scatter), and XLA's TPU sort
@@ -107,7 +135,7 @@ def merge_lrt_local(
     if packed_ctrl:
         if want_rows or want_geno or wide_sums:
             raise ValueError("packed_ctrl excludes rows/geno/wide paths")
-        sorted_all = jax.lax.sort((*lanes, count), num_keys=L + 1)
+        sorted_all = _sort((*lanes, count))
         lanes_s = sorted_all[:L]
         packed_s = sorted_all[L]
         sample_s = None
@@ -119,7 +147,7 @@ def merge_lrt_local(
         else:
             count_s = packed_s & jnp.int32(0x7FFFFFFF)
     else:
-        sorted_all = jax.lax.sort((*lanes, sample, count), num_keys=L + 2)
+        sorted_all = _sort((*lanes, sample, count))
         lanes_s = sorted_all[:L]
         sample_s, count_s = sorted_all[L], sorted_all[L + 1]
 
@@ -212,20 +240,29 @@ def merge_lrt_local(
 
     n_hits = jnp.sum(keep, dtype=jnp.int32)
     hit_start = jnp.nonzero(keep, size=max_hits, fill_value=N - 1)[0]
+    # lanes + sums stack into one [max_hits, R] u32 blob: a single fetch
+    # (and a single device-side slice) moves every survivor column off the
+    # device — per-column fetches each paid a slice + astype + transfer
+    # round trip on sync-dispatch rigs
+    blob_cols = [l[hit_start] for l in lanes_s]
+    if wide_sums:
+        blob_cols += [
+            s_c_hi[hit_start].astype(jnp.uint32),
+            s_c_lo[hit_start].astype(jnp.uint32),
+            s_k_hi[hit_start].astype(jnp.uint32),
+            s_k_lo[hit_start].astype(jnp.uint32),
+        ]
+    else:
+        blob_cols += [
+            s_c[hit_start].astype(jnp.uint32),
+            s_k[hit_start].astype(jnp.uint32),
+        ]
     out = {
         "n_distinct": n_distinct,
         "n_hits": n_hits,
-        "hit_lanes": tuple(l[hit_start] for l in lanes_s),
+        "hit_blob": jnp.stack(blob_cols, axis=1),
         "n_geno": jnp.int32(0),
     }
-    if wide_sums:
-        out["hit_sc_hi"] = s_c_hi[hit_start]
-        out["hit_sc_lo"] = s_c_lo[hit_start]
-        out["hit_sk_hi"] = s_k_hi[hit_start]
-        out["hit_sk_lo"] = s_k_lo[hit_start]
-    else:
-        out["hit_sc"] = s_c[hit_start]
-        out["hit_sk"] = s_k[hit_start]
 
     # per-row run-start map, needed only by the dense-row windows below
     # (the hot packed path never pays this scan)
@@ -268,6 +305,7 @@ def merge_lrt_local(
         out["geno_rows"] = (dense_rows(geno_start, max_geno) > 0).astype(
             jnp.uint8
         )
+    out["meta"] = jnp.stack([n_distinct, n_hits, out["n_geno"]])
     return out
 
 
@@ -277,7 +315,7 @@ merge_lrt_kernel = functools.partial(
     jax.jit,
     static_argnames=(
         "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
-        "want_rows", "wide_sums", "packed_ctrl",
+        "want_rows", "wide_sums", "packed_ctrl", "range_rows",
     ),
 )(merge_lrt_local)
 
@@ -311,10 +349,10 @@ class _Staging(threading.local):
 _staging = _Staging()
 
 
-def _staged_lanes(n_lanes: int, pad_to: int):
+def _staged_lanes(n_lanes: int, pad_to: int, slot: int = 0):
     lanes = []
     for i in range(n_lanes):
-        a = _staging.get(f"lane{i}", pad_to, np.uint32)
+        a = _staging.get(f"lane{i}@{slot}", pad_to, np.uint32)
         a.fill(0xFFFFFFFF)
         lanes.append(a)
     return lanes
@@ -333,6 +371,7 @@ def build_triples_packed(
     pad_to: int,
     nb_controls: int,
     pack16: bool = False,
+    slot: int = 0,
 ):
     """build_triples for the packed_ctrl fast path: the control/case bit
     rides count's sign bit (i32) or bit 15 (u16 when pack16 — counts must
@@ -341,15 +380,18 @@ def build_triples_packed(
 
     Returns (lanes tuple, count_packed [pad_to], N). Arrays are
     thread-local staging buffers — consume (ship to device and read the
-    results) before building the next chunk on the same thread."""
+    results) before building the next chunk on the same thread WITH THE
+    SAME SLOT. A double-buffered producer alternates slot 0/1: slot c%2
+    is only rewritten after chunk c's results were read on host, which
+    transitively completes its H2D (pipeline.merge chunk prefetch)."""
     sizes = [len(k) for k in kmers_list]
     N = int(np.sum(sizes))
     nw = kmers_list[0].shape[1] if kmers_list else 1
-    lanes = _staged_lanes(2 * nw, pad_to)
+    lanes = _staged_lanes(2 * nw, pad_to, slot)
     if pack16:
-        count = _staging.get("count16", pad_to, np.uint16)
+        count = _staging.get(f"count16@{slot}", pad_to, np.uint16)
     else:
-        count = _staging.get("count", pad_to, np.int32)
+        count = _staging.get(f"count@{slot}", pad_to, np.int32)
     # pad-row counts are masked everywhere, but zero them so the shipped
     # bytes (and the device sort's tie order among pad rows) are
     # deterministic rather than stale staging memory
@@ -378,23 +420,123 @@ def build_triples_packed(
     return tuple(lanes), count, N
 
 
+def build_triples_packed_ranged(
+    kmers_list: list[np.ndarray],
+    counts_list: list[np.ndarray],
+    pad_to: int,
+    nb_controls: int,
+    pack16: bool = False,
+    slot: int = 0,
+    target_range: int = 1 << 17,
+):
+    """build_triples_packed laid out as R key-disjoint quantile ranges of
+    M = pad_to/R rows each (range r at [r*M, (r+1)*M), sentinel-padded),
+    for the kernel's batched [R, M] sub-sorts (merge_lrt_local
+    range_rows=M). Key-range splitting is free on sorted streams — the
+    same trick as the chunk and mesh splits, one level finer.
+
+    Returns (lanes, count, N, M) with M=0 when a ranged layout is not
+    worth it or quantile skew leaves some range over its row budget
+    (caller falls back to the flat build)."""
+    sizes = [len(k) for k in kmers_list]
+    N = int(np.sum(sizes))
+    if N == 0 or pad_to < 2 * target_range:
+        return None
+    R = pad_to // target_range
+    keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
+    M = pad_to // R
+    for _attempt in range(3):
+        if R < 2:
+            return None
+        qs = np.quantile(keys, np.linspace(0, 1, R + 1)[1:-1])
+        bounds = np.unique(qs.astype(np.uint64))
+        R_eff = len(bounds) + 1
+        # per-sample range slices; verify every range fits its M rows
+        slices = []
+        ok = True
+        for r in range(R_eff):
+            lo_b = bounds[r - 1] if r > 0 else None
+            hi_b = bounds[r] if r < len(bounds) else None
+            per = []
+            n = 0
+            for km in kmers_list:
+                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
+                b = (np.searchsorted(km[:, 0], hi_b)
+                     if hi_b is not None else len(km))
+                per.append((a, b))
+                n += b - a
+            if n > M:
+                ok = False
+                break
+            slices.append(per)
+        if ok:
+            break
+        R //= 2
+        M = pad_to // R
+    else:
+        return None
+    if R < 2:
+        return None
+
+    nw = kmers_list[0].shape[1] if kmers_list else 1
+    lanes = _staged_lanes(2 * nw, pad_to, slot)
+    if pack16:
+        count = _staging.get(f"count16@{slot}", pad_to, np.uint16)
+    else:
+        count = _staging.get(f"count@{slot}", pad_to, np.int32)
+    count.fill(0)
+    for r, per in enumerate(slices):
+        pos = r * M
+        for s, ((a, b), k, c) in enumerate(
+            zip(per, kmers_list, counts_list)
+        ):
+            n = b - a
+            if n == 0:
+                continue
+            for w in range(nw):
+                v = k[a:b, w]
+                lanes[2 * w][pos : pos + n] = (
+                    v >> np.uint64(32)
+                ).astype(np.uint32)
+                lanes[2 * w + 1][pos : pos + n] = (
+                    v & np.uint64(0xFFFFFFFF)
+                ).astype(np.uint32)
+            cs = c[a:b]
+            if pack16:
+                cu = cs.astype(np.uint16)
+                if s < nb_controls:
+                    cu |= np.uint16(0x8000)
+                count[pos : pos + n] = cu
+            else:
+                ci = (cs.view(np.int32) if cs.dtype == np.uint32
+                      else cs.astype(np.int32))
+                if s < nb_controls:
+                    count[pos : pos + n] = ci | np.int32(-0x80000000)
+                else:
+                    count[pos : pos + n] = ci
+            pos += n
+    return tuple(lanes), count, N, M
+
+
 def build_triples(
-    kmers_list: list[np.ndarray], counts_list: list[np.ndarray], pad_to: int
+    kmers_list: list[np.ndarray], counts_list: list[np.ndarray], pad_to: int,
+    slot: int = 0,
 ):
     """Host: per-sample sorted streams -> padded lane/sample/count arrays.
 
     Returns (lanes tuple of 2*nw u32 arrays [pad_to], sample i32, count
     i32, N). Lane order is (w0_hi, w0_lo, w1_hi, w1_lo, ...): the most
     significant lane first, so lexicographic lane sort == word order.
-    Arrays are thread-local staging buffers (see _Staging).
+    Arrays are thread-local staging buffers (see _Staging; slot semantics
+    as in build_triples_packed).
     """
     sizes = [len(k) for k in kmers_list]
     N = int(np.sum(sizes))
     nw = kmers_list[0].shape[1] if kmers_list else 1
-    lanes = _staged_lanes(2 * nw, pad_to)
-    sample = _staging.get("sample", pad_to, np.int32)
+    lanes = _staged_lanes(2 * nw, pad_to, slot)
+    sample = _staging.get(f"sample@{slot}", pad_to, np.int32)
     sample[N:] = 0
-    count = _staging.get("count", pad_to, np.int32)
+    count = _staging.get(f"count@{slot}", pad_to, np.int32)
     count[N:] = 0
     pos = 0
     for s, (k, c) in enumerate(zip(kmers_list, counts_list)):

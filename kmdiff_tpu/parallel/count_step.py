@@ -127,8 +127,9 @@ def make_sharded_count_kernel(
 
     step(codes [D*cap_codes] u8 row-sharded; chunks carry k-1 overlap so
     no window is lost at chunk joins, INVALID-padded)
-    -> (n_distinct [D] i32, n_dropped [1] i32 psum'd, max_count [D] u32,
-        lanes tuple [D*max_distinct] u32, counts [D*max_distinct] u32)
+    -> (stats [D, 2] i32 = per-device (n_distinct, max_count),
+        n_dropped [1] i32 psum'd,
+        lane_blob [D*max_distinct, L] u32, counts [D*max_distinct] u32)
     — all row-sharded except n_dropped. Partition ids are recomputed on
     host from the gathered k-mers (pipeline.count._regroup_by_partition).
     """
@@ -178,15 +179,12 @@ def make_sharded_count_kernel(
         # lane; the host recomputes it from the gathered k-mers and stable-
         # sorts (pipeline.count.count_sample_device_mesh), preserving the
         # per-partition k-mer order
-        n_distinct, max_count, lanes_d, counts = sort_rle_core(
-            recv, max_distinct
-        )
+        stats, lane_blob, counts = sort_rle_core(recv, max_distinct)
         n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
         return (
-            n_distinct.reshape(1),
+            stats.reshape(1, 2),
             n_dropped.reshape(1),
-            max_count.reshape(1),
-            lanes_d,
+            lane_blob,
             counts,
         )
 
@@ -195,10 +193,9 @@ def make_sharded_count_kernel(
         mesh=mesh,
         in_specs=(P(ROW_AXIS),),
         out_specs=(
-            P(ROW_AXIS),
+            P(ROW_AXIS, None),
             P(),
-            P(ROW_AXIS),
-            (P(ROW_AXIS),) * L,
+            P(ROW_AXIS, None),
             P(ROW_AXIS),
         ),
     )

@@ -52,9 +52,12 @@ def make_sharded_merge_step(
          count [D*cap] i32, ratio_c, ratio_k, lr_min, pca_thr, pca_seed)
     -> dict:
       totals [3] i32 replicated        psum'd (n_distinct, n_hits, n_geno)
-      n_hits_d / n_geno_d [D] i32      per-device counts (slot slicing)
-      hit_lanes tuple [D*max_hits] u32 per-device slot-compacted survivors
-      hit_sc/hit_sk (or _hi/_lo pairs when wide_sums) [D*max_hits] i32
+      meta_d [D, 2] i32                per-device (n_hits, n_geno) — one
+                                       host read serves slot slicing AND
+                                       the overflow check
+      hit_blob [D*max_hits, R] u32     per-device slot-compacted survivor
+                                       rows (L lanes + group sums; layout
+                                       = ops.merge_dev hit_blob)
       hit_rows [D*max_hits, S] i32     (want_rows)
       geno_rows [D*max_geno, S] u8     (want_geno)
     """
@@ -74,14 +77,11 @@ def make_sharded_merge_step(
         )
         res = {
             "totals": totals,
-            "n_hits_d": out["n_hits"].reshape(1),
-            "n_geno_d": out["n_geno"].reshape(1),
-            "hit_lanes": out["hit_lanes"],
+            "meta_d": jnp.stack(
+                [out["n_hits"], out["n_geno"]]
+            ).reshape(1, 2),
+            "hit_blob": out["hit_blob"],
         }
-        for key in ("hit_sc", "hit_sk", "hit_sc_hi", "hit_sc_lo",
-                    "hit_sk_hi", "hit_sk_lo"):
-            if key in out:
-                res[key] = out[key]
         if want_rows:
             res["hit_rows"] = out["hit_rows"]
         if want_geno:
@@ -90,17 +90,9 @@ def make_sharded_merge_step(
 
     out_specs = {
         "totals": P(),
-        "n_hits_d": P(ROW_AXIS),
-        "n_geno_d": P(ROW_AXIS),
-        "hit_lanes": (P(ROW_AXIS),) * n_lanes,
+        "meta_d": P(ROW_AXIS, None),
+        "hit_blob": P(ROW_AXIS, None),
     }
-    sum_keys = (
-        ("hit_sc_hi", "hit_sc_lo", "hit_sk_hi", "hit_sk_lo")
-        if wide_sums
-        else ("hit_sc", "hit_sk")
-    )
-    for key in sum_keys:
-        out_specs[key] = P(ROW_AXIS)
     if want_rows:
         out_specs["hit_rows"] = P(ROW_AXIS, None)
     if want_geno:

@@ -185,14 +185,17 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
         W = pad_to - k + 1
         max_distinct = max(1 << 14, W >> 2)
         while True:
-            n_distinct, max_count, lanes_d, counts = fused_count_kernel(
+            stats, lane_blob, counts = fused_count_kernel(
                 jnp.asarray(codes), k, max_distinct
             )
-            U = int(n_distinct)
+            stats_h = np.asarray(stats)  # one read: (n_distinct, max_count)
+            U = int(stats_h[0])
             if U <= max_distinct:
                 break
             max_distinct = 1 << max(U - 1, 1).bit_length()
-        return _fetch_counted(U, lanes_d, counts, nb_partitions, max_count)
+        return _fetch_counted(
+            U, lane_blob, counts, nb_partitions, int(stats_h[1])
+        )
 
     blocks = []
     for codes in all_codes:
@@ -245,14 +248,15 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
         # distinct-count cap: start assuming >=4x duplication, retry exact
         max_distinct = min(P, max(1 << 14, P >> 2))
         while True:
-            n_distinct, max_count, lanes_d, counts = count_sort_rle_lanes(
+            stats, lane_blob, counts = count_sort_rle_lanes(
                 tuple(lanes), max_distinct
             )
-            U = int(n_distinct)
+            stats_h = np.asarray(stats)  # one read: (n_distinct, max_count)
+            U = int(stats_h[0])
             if U <= max_distinct:
                 break
             max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
-        streams.append(_fetch_stream(U, lanes_d, counts, max_count))
+        streams.append(_fetch_stream(U, lane_blob, counts, int(stats_h[1])))
 
     if len(streams) == 1:
         kmers, counts_h = streams[0]
@@ -261,15 +265,20 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
-def _fetch_stream(U, lanes_d, counts, max_count=None):
-    """D2H discipline for slow uplinks: slice device-side at pow2
-    granularity (bounded compiled-shape set) so at most 2U rows leave,
-    then fetch chunk-parallel (utils.transfer). Returns the k-mer-sorted
-    distinct stream (kmers [U, nw] u64, counts [U] u32)."""
+def _fetch_stream(U, lane_blob, counts, max_count=None):
+    """D2H discipline for slow uplinks: slice device-side at quarter-pow2
+    granularity (bounded compiled-shape set), then fetch chunk-parallel
+    (utils.transfer). The lanes arrive as ONE [U, L] blob fetch (per-lane
+    fetches each pay a slice + transfer round trip). Returns the
+    k-mer-sorted distinct stream (kmers [U, nw] u64, counts [U] u32)."""
     from kmdiff_tpu.ops.codec import lanes_to_words
     from kmdiff_tpu.utils.transfer import fetch_prefix
 
-    kmers = lanes_to_words(tuple(fetch_prefix(l, U) for l in lanes_d))
+    blob = fetch_prefix(lane_blob, U)
+    L = blob.shape[1]
+    kmers = lanes_to_words(
+        tuple(np.ascontiguousarray(blob[:, i]) for i in range(L))
+    )
     return kmers, _fetch_counts_narrow(counts, U, max_count)
 
 
@@ -326,8 +335,8 @@ def _regroup_by_partition(kmers, counts, nb_partitions):
     return kmers[order], parts[order], counts[order]
 
 
-def _fetch_counted(U, lanes_d, counts, nb_partitions, max_count=None):
-    kmers, counts_h = _fetch_stream(U, lanes_d, counts, max_count)
+def _fetch_counted(U, lane_blob, counts, nb_partitions, max_count=None):
+    kmers, counts_h = _fetch_stream(U, lane_blob, counts, max_count)
     return _regroup_by_partition(kmers, counts_h, nb_partitions)
 
 
@@ -413,8 +422,9 @@ def count_sample_device_mesh(
         kern = make_sharded_count_kernel(
             mesh, k, nb_partitions, bucket_cap, max_distinct
         )
-        n_dist, n_drop, _max_count, lanes_d, counts_d = kern(codes_dev)
-        n_dist = np.asarray(n_dist)
+        stats_d, n_drop, blob_d, counts_d = kern(codes_dev)
+        stats_h = np.asarray(stats_d)  # [D, 2]: one read per retry
+        n_dist = stats_h[:, 0]
         if int(np.asarray(n_drop)[0]) > 0:
             bucket_cap *= 2
             continue
@@ -455,8 +465,10 @@ def count_sample_device_mesh(
         )
 
     counts_all = gather(counts_d)
-    lanes_all = tuple(gather(ln) for ln in lanes_d)
-    kmers = lanes_to_words(lanes_all)
+    blob_all = gather(blob_d)  # [sum(n_dist), L] — one gather, not L
+    kmers = lanes_to_words(
+        tuple(np.ascontiguousarray(blob_all[:, i]) for i in range(L))
+    )
     return _regroup_by_partition(kmers, counts_all, nb_partitions)
 
 

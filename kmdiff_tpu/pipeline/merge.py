@@ -354,13 +354,38 @@ class PartitionProcessor:
         budget=MAX_DEVICE_ROWS,
     ) -> PartitionResult:
         """Split the partition at common k-mer boundaries so every chunk
-        is an independent sub-partition of bounded size."""
+        is an independent sub-partition of bounded size.
+
+        Chunks target 7/8 of the budget, not half: the kernel pads each
+        chunk to the next pow2, so half-budget chunks sorted DOUBLE their
+        rows as padding (budget-sized pow2 pad) — near-full chunks cut
+        both the padded sort work and the per-chunk dispatch round trips
+        ~2x. Quantile splitters are approximate, so chunk sizes are
+        validated and the chunk count doubles on overshoot (ties on the
+        first k-mer word cap how finely keys can split; bounded retries)."""
         N_real = sum(len(k) for k in kmers_list)
-        n_chunks = -(-N_real // (budget // 2))
         # splitters: quantiles of the concatenated first-word keys
         keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
-        qs = np.quantile(keys, np.linspace(0, 1, n_chunks + 1)[1:-1])
-        bounds = np.unique(qs.astype(np.uint64))
+        n_chunks = max(2, -(-N_real // max(1, (budget * 7) // 8)))
+        for _attempt in range(4):
+            qs = np.quantile(keys, np.linspace(0, 1, n_chunks + 1)[1:-1])
+            bounds = np.unique(qs.astype(np.uint64))
+            sizes = []
+            for c in range(len(bounds) + 1):
+                lo_b = bounds[c - 1] if c > 0 else None
+                hi_b = bounds[c] if c < len(bounds) else None
+                n = 0
+                for km in kmers_list:
+                    a = (np.searchsorted(km[:, 0], lo_b)
+                         if lo_b is not None else 0)
+                    b = (np.searchsorted(km[:, 0], hi_b)
+                         if hi_b is not None else len(km))
+                    n += b - a
+                sizes.append(n)
+            if max(sizes) <= budget:
+                break
+            n_chunks *= 2
+        del keys
 
         results = []
         geno_parts = []
@@ -370,7 +395,8 @@ class PartitionProcessor:
             else None
         )
         matrix_sink = [] if self.save_matrix_path is not None else None
-        for c in range(len(bounds) + 1):
+
+        def chunk_slices(c):
             lo_b = bounds[c - 1] if c > 0 else None
             hi_b = bounds[c] if c < len(bounds) else None
             sub_k, sub_c = [], []
@@ -379,12 +405,51 @@ class PartitionProcessor:
                 b = np.searchsorted(km[:, 0], hi_b) if hi_b is not None else len(km)
                 sub_k.append(km[a:b])
                 sub_c.append(ct[a:b])
-            results.append(
-                self._device_merge_chunk(
-                    partition, sub_k, sub_c, acc, ksize, finish=False,
-                    sampler_override=shim, matrix_sink=matrix_sink,
+            return sub_k, sub_c
+
+        from kmdiff_tpu.parallel.runtime import get_mesh
+
+        total = len(bounds) + 1
+        if get_mesh() is not None:
+            for c in range(total):
+                sub_k, sub_c = chunk_slices(c)
+                results.append(
+                    self._device_merge_chunk(
+                        partition, sub_k, sub_c, acc, ksize, finish=False,
+                        sampler_override=shim, matrix_sink=matrix_sink,
+                    )
                 )
-            )
+        else:
+            # double-buffer: a single prefetch worker builds chunk c+1's
+            # triples and ships them (host build + H2D) while chunk c's
+            # kernel runs and its survivors stream back. Staging slots
+            # alternate c%2 so a buffer is only rewritten after the chunk
+            # that used it was fully read (ops.merge_dev._Staging).
+            want_geno = shim is not None
+            want_rows = self.keep_counts or self.save_matrix_path is not None
+            wide = self.params.wide_sums
+
+            def build(c):
+                sub_k, sub_c = chunk_slices(c)
+                pre = self._build_single_operands(
+                    sub_k, sub_c, want_geno, want_rows, wide, slot=c % 2
+                )
+                return sub_k, sub_c, pre
+
+            with cf.ThreadPoolExecutor(1) as prefetch:
+                fut = prefetch.submit(build, 0)
+                for c in range(total):
+                    sub_k, sub_c, pre = fut.result()
+                    if c + 1 < total:
+                        fut = prefetch.submit(build, c + 1)
+                    self.phases.add("build", pre["build_s"])
+                    results.append(
+                        self._device_merge_chunk(
+                            partition, sub_k, sub_c, acc, ksize, finish=False,
+                            sampler_override=shim, matrix_sink=matrix_sink,
+                            prebuilt=pre,
+                        )
+                    )
         if self.sampler is not None:
             rows = (
                 np.concatenate(geno_parts)
@@ -419,7 +484,7 @@ class PartitionProcessor:
 
     def _device_merge_chunk(
         self, partition, kmers_list, counts_list, acc, ksize, finish=True,
-        sampler_override=None, matrix_sink=None,
+        sampler_override=None, matrix_sink=None, prebuilt=None,
     ) -> PartitionResult:
         from kmdiff_tpu.ops.merge_dev import lanes_to_words
         from kmdiff_tpu.parallel.runtime import get_mesh
@@ -438,7 +503,8 @@ class PartitionProcessor:
             )
         else:
             disp = self._dispatch_single(
-                kmers_list, counts_list, sampler, want_geno, want_rows, wide
+                kmers_list, counts_list, sampler, want_geno, want_rows, wide,
+                prebuilt=prebuilt,
             )
         n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows = disp
         n_hits = len(s_c)
@@ -516,38 +582,38 @@ class PartitionProcessor:
                 max_geno = max(1, min(max_geno, int(cap)))
         return max_hits, max_geno
 
-    def _combine_sums(self, out, n_hits, wide):
-        """Device sum outputs -> exact int64 (recombining the
-        16-bit-split halves on the wide path). Only the survivor prefix
-        (pow2-bucketed) leaves the device."""
-        from kmdiff_tpu.utils.transfer import fetch_prefix
-
+    @staticmethod
+    def _unpack_blob(blob: np.ndarray, n_lanes: int, wide: bool):
+        """hit_blob [U, R] u32 (fetched in ONE transfer) -> (hit_lanes
+        tuple, s_c, s_k exact int64). Column layout: L k-mer lanes then
+        the group sums — [sc, sk] narrow, [sc_hi, sc_lo, sk_hi, sk_lo]
+        16-bit-split wide (ops.merge_dev.merge_lrt_local)."""
+        L = n_lanes
+        lanes = tuple(np.ascontiguousarray(blob[:, i]) for i in range(L))
         if wide:
-            s_c = (
-                fetch_prefix(out["hit_sc_hi"], n_hits).astype(np.int64) * 65536
-                + fetch_prefix(out["hit_sc_lo"], n_hits)
-            )
-            s_k = (
-                fetch_prefix(out["hit_sk_hi"], n_hits).astype(np.int64) * 65536
-                + fetch_prefix(out["hit_sk_lo"], n_hits)
-            )
+            s_c = blob[:, L].astype(np.int64) * 65536 + blob[:, L + 1]
+            s_k = blob[:, L + 2].astype(np.int64) * 65536 + blob[:, L + 3]
         else:
-            s_c = fetch_prefix(out["hit_sc"], n_hits).astype(np.int64)
-            s_k = fetch_prefix(out["hit_sk"], n_hits).astype(np.int64)
-        return s_c, s_k
+            s_c = blob[:, L].astype(np.int64)
+            s_k = blob[:, L + 1].astype(np.int64)
+        return lanes, s_c, s_k
 
-    def _dispatch_single(
-        self, kmers_list, counts_list, sampler, want_geno, want_rows, wide
+    def _build_single_operands(
+        self, kmers_list, counts_list, want_geno, want_rows, wide, slot=0
     ):
-        """One-device merge kernel dispatch with overflow retry."""
+        """Build one chunk's triples and ship them to the device. Runs on
+        the caller's thread — a chunk-prefetch thread overlaps this (host
+        build + H2D) with the previous chunk's kernel + fetch, alternating
+        staging slots (ops.merge_dev._Staging slot discipline)."""
+        import os
+
         import jax.numpy as jnp
 
         from kmdiff_tpu.ops.merge_dev import (
             build_triples,
             build_triples_packed,
-            merge_lrt_kernel,
+            build_triples_packed_ranged,
             pack16_ok,
-            pca_threshold_u32,
         )
 
         t0 = time.perf_counter()
@@ -556,27 +622,72 @@ class PartitionProcessor:
         # fast narrow path: control bit packed into the count lane, no
         # sample operand in the sort; u16 packing when counts < 2^15
         packed = not (want_rows or want_geno or wide)
+        range_rows = 0
         if packed:
-            lanes, count, _ = build_triples_packed(
-                kmers_list, counts_list, pad_to, self.nb_controls,
-                pack16=pack16_ok(counts_list),
-            )
+            pack16 = pack16_ok(counts_list)
+            lanes = count = None
+            if os.environ.get("KMDIFF_RANGED_SORT") == "1":
+                # opt-in: quantile-ranged layout -> batched [R, M]
+                # sub-sorts in the kernel (A/B'd in bench.py; falls back
+                # to the flat build on quantile skew or small chunks)
+                res = build_triples_packed_ranged(
+                    kmers_list, counts_list, pad_to, self.nb_controls,
+                    pack16=pack16, slot=slot,
+                )
+                if res is not None:
+                    lanes, count, _, range_rows = res
+            if lanes is None:
+                lanes, count, _ = build_triples_packed(
+                    kmers_list, counts_list, pad_to, self.nb_controls,
+                    pack16=pack16, slot=slot,
+                )
             sample = np.zeros(1, np.int32)
         else:
             lanes, sample, count, _ = build_triples(
-                kmers_list, counts_list, pad_to
+                kmers_list, counts_list, pad_to, slot=slot
             )
+        return {
+            "lanes_dev": tuple(jnp.asarray(l) for l in lanes),
+            "sample_dev": jnp.asarray(sample),
+            "count_dev": jnp.asarray(count),
+            "pad_to": pad_to,
+            "packed": packed,
+            "range_rows": range_rows,
+            "build_s": time.perf_counter() - t0,
+        }
+
+    def _dispatch_single(
+        self, kmers_list, counts_list, sampler, want_geno, want_rows, wide,
+        prebuilt=None,
+    ):
+        """One-device merge kernel dispatch with overflow retry."""
+        import jax.numpy as jnp
+
+        from kmdiff_tpu.ops.merge_dev import pca_threshold_u32
+
+        if prebuilt is None:
+            prebuilt = self._build_single_operands(
+                kmers_list, counts_list, want_geno, want_rows, wide
+            )
+            self.phases.add("build", prebuilt["build_s"])
+        lanes_dev = prebuilt["lanes_dev"]
+        sample_dev = prebuilt["sample_dev"]
+        count_dev = prebuilt["count_dev"]
+        pad_to = prebuilt["pad_to"]
+        packed = prebuilt["packed"]
+        n_lanes = len(lanes_dev)
         geno_rate = getattr(sampler, "rate", 0.0)
         max_hits, max_geno = self._budgets(pad_to, want_geno, geno_rate)
-        self.phases.add("build", time.perf_counter() - t0)
+
+        from kmdiff_tpu.ops.merge_dev import merge_lrt_kernel
 
         t0 = time.perf_counter()
         S = len(kmers_list)
         while True:
             out = merge_lrt_kernel(
-                tuple(jnp.asarray(l) for l in lanes),
-                jnp.asarray(sample),
-                jnp.asarray(count),
+                lanes_dev,
+                sample_dev,
+                count_dev,
                 self.nb_controls,
                 jnp.float32(self.params.ratio_c),
                 jnp.float32(self.params.ratio_k),
@@ -590,10 +701,13 @@ class PartitionProcessor:
                 want_rows=want_rows,
                 wide_sums=wide,
                 packed_ctrl=packed,
+                range_rows=prebuilt.get("range_rows", 0),
             )
-            n_hits = int(out["n_hits"])
-            n_geno = int(out["n_geno"]) if want_geno else 0
-            if n_hits <= max_hits and n_geno <= max_geno:
+            # ONE host read answers sync + overflow (3 scalar reads = 3
+            # round trips on this rig's sync-dispatch mode)
+            meta = np.asarray(out["meta"])
+            n_distinct, n_hits, n_geno = int(meta[0]), int(meta[1]), int(meta[2])
+            if n_hits <= max_hits and (not want_geno or n_geno <= max_geno):
                 break
             max_hits = min(pad_to, 1 << max(n_hits - 1, 1).bit_length())
             if want_geno:
@@ -601,11 +715,10 @@ class PartitionProcessor:
 
         from kmdiff_tpu.utils.transfer import fetch_prefix
 
-        n_distinct = int(out["n_distinct"])
         self.phases.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        s_c, s_k = self._combine_sums(out, n_hits, wide)
-        hit_lanes = tuple(fetch_prefix(l, n_hits) for l in out["hit_lanes"])
+        blob = fetch_prefix(out["hit_blob"], n_hits)
+        hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)
         rows_all = (
             fetch_prefix(out["hit_rows"], n_hits) if want_rows else None
         )
@@ -710,8 +823,9 @@ class PartitionProcessor:
                 jnp.uint32(pca_threshold_u32(geno_rate)),
                 jnp.uint32(getattr(sampler, "seed", 0)),
             )
-            n_hits_d = np.asarray(out["n_hits_d"])
-            n_geno_d = np.asarray(out["n_geno_d"]) if want_geno else None
+            meta_d = np.asarray(out["meta_d"])  # [D, 2]: one read, not 2
+            n_hits_d = meta_d[:, 0]
+            n_geno_d = meta_d[:, 1] if want_geno else None
             if int(n_hits_d.max()) <= max_hits and (
                 not want_geno or int(n_geno_d.max()) <= max_geno
             ):
@@ -757,28 +871,8 @@ class PartitionProcessor:
                 ]
             return np.concatenate(parts, axis=0)
 
-        sums_np = {}
-        sum_keys = (
-            ("hit_sc_hi", "hit_sc_lo", "hit_sk_hi", "hit_sk_lo")
-            if wide
-            else ("hit_sc", "hit_sk")
-        )
-        for key in sum_keys:
-            sums_np[key] = gather(out[key], max_hits, n_hits_d)
-        if wide:
-            s_c = sums_np["hit_sc_hi"].astype(np.int64) * 65536 + sums_np[
-                "hit_sc_lo"
-            ]
-            s_k = sums_np["hit_sk_hi"].astype(np.int64) * 65536 + sums_np[
-                "hit_sk_lo"
-            ]
-        else:
-            s_c = sums_np["hit_sc"].astype(np.int64)
-            s_k = sums_np["hit_sk"].astype(np.int64)
-        hit_lanes = tuple(
-            gather(out["hit_lanes"][i], max_hits, n_hits_d)
-            for i in range(n_lanes)
-        )
+        blob = gather(out["hit_blob"], max_hits, n_hits_d)
+        hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)
         rows_all = (
             gather(out["hit_rows"], max_hits, n_hits_d) if want_rows else None
         )

@@ -390,11 +390,69 @@ def test_packed16_parity_with_packed32():
             packed_ctrl=True,
         )
         nh = int(out["n_hits"])
+        blob = np.asarray(out["hit_blob"])[:nh]  # [nh, L + 2]
         outs.append((
             int(out["n_distinct"]), nh,
-            np.asarray(out["hit_sc"])[:nh].tolist(),
-            np.asarray(out["hit_sk"])[:nh].tolist(),
-            tuple(np.asarray(l)[:nh].tolist() for l in out["hit_lanes"]),
+            blob.tolist(),
         ))
+        assert list(np.asarray(out["meta"])) == [
+            int(out["n_distinct"]), nh, 0,
+        ]
     assert outs[0] == outs[1]
     assert outs[0][1] > 0  # the comparison covered real hits
+
+
+def test_ranged_sort_kernel_identical():
+    """The quantile-ranged batched sub-sort layout (KMDIFF_RANGED_SORT)
+    must produce EXACTLY the flat kernel's outputs: same n_distinct, same
+    survivor order (ranges are ascending and key-disjoint), same sums —
+    mid-array sentinel pads must be invisible."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.merge_dev import (
+        build_triples_packed,
+        build_triples_packed_ranged,
+        merge_lrt_kernel,
+    )
+
+    rng = np.random.default_rng(17)
+    S = 8
+    kmers_list, counts_list = [], []
+    pool = np.sort(rng.integers(0, 1 << 44, 40000, dtype=np.uint64))
+    for s in range(S):
+        take = np.sort(rng.choice(len(pool), 30000, replace=False))
+        kmers_list.append(pool[take].reshape(-1, 1))
+        # strong control/case disparity so the LR filter keeps real hits
+        hi = 1000 if s < 3 else 5
+        counts_list.append(rng.integers(1, hi + 1, 30000, dtype=np.uint32))
+    N = S * 30000
+    pad_to = 1 << (N - 1).bit_length()  # 2^18
+
+    def run(lanes, count, range_rows):
+        out = merge_lrt_kernel(
+            tuple(jnp.asarray(np.ascontiguousarray(l)) for l in lanes),
+            jnp.zeros(1, jnp.int32),
+            jnp.asarray(np.ascontiguousarray(count)),
+            3, jnp.float32(0.5), jnp.float32(0.5), jnp.float32(0.2),
+            jnp.uint32(0), jnp.uint32(0), 1 << 12, 1, False,
+            packed_ctrl=True, range_rows=range_rows,
+        )
+        meta = np.asarray(out["meta"])
+        nh = int(meta[1])
+        return list(meta), np.asarray(out["hit_blob"])[:nh].tolist()
+
+    lanes_f, count_f, _ = build_triples_packed(
+        kmers_list, counts_list, pad_to, 3, pack16=True
+    )
+    flat = run(lanes_f, count_f, 0)
+
+    res = build_triples_packed_ranged(
+        kmers_list, counts_list, pad_to, 3, pack16=True,
+        target_range=1 << 14,
+    )
+    assert res is not None, "ranged build unexpectedly fell back"
+    lanes_r, count_r, n_r, M = res
+    assert n_r == N and M == 1 << 14
+    ranged = run(lanes_r, count_r, M)
+    assert ranged == flat
+    assert flat[0][1] > 0  # survivors were actually compared
