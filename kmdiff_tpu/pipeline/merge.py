@@ -203,9 +203,58 @@ class PartitionProcessor:
             final = p <= self.threshold
             idx = idx[final]
             p, sg, mc, mk = p[final], sg[final], mc[final], mk[final]
+        elif hasattr(self.model, "process_block_jax"):
+            # device-vectorized plugin ABI: the model scores [B, S] count
+            # tiles as a jittable jnp function; same fixed-tile dispatch
+            # discipline as the builtin filter, so custom models scale to
+            # billion-row cohorts instead of host-looping
+            import jax.numpy as jnp
+
+            p = np.empty(B)
+            sg = np.empty(B, dtype=np.int8)
+            mc = np.empty(B)
+            mk = np.empty(B)
+            pad_tile = np.zeros((BLOCK_ROWS, counts.shape[1]), dtype=np.int32)
+            counts_i32 = counts.view(np.int32)
+            for lo in range(0, B, BLOCK_ROWS):
+                hi = min(B, lo + BLOCK_ROWS)
+                if hi - lo < BLOCK_ROWS:
+                    pad_tile[: hi - lo] = counts_i32[lo:hi]
+                    pad_tile[hi - lo :] = 0
+                    tile = pad_tile
+                else:
+                    tile = counts_i32[lo:hi]
+                tp, tsg, tmc, tmk = self.model.process_block_jax(
+                    jnp.asarray(tile), self.nb_controls
+                )
+                n = hi - lo
+                p[lo:hi] = np.asarray(tp)[:n]
+                sg[lo:hi] = np.asarray(tsg)[:n]
+                mc[lo:hi] = np.asarray(tmc)[:n]
+                mk[lo:hi] = np.asarray(tmk)[:n]
+            keep = p <= self.threshold
+            idx = np.nonzero(keep)[0]
+            p, sg, mc, mk = p[idx], sg[idx], mc[idx], mk[idx]
         else:
             # custom models score every row on host (plugin path,
-            # reference: model_manager.hpp)
+            # reference: model_manager.hpp). Vectorized process_block
+            # overrides run at numpy speed; scalar-only plugins fall back
+            # to the base class's per-row loop (warned once — implement
+            # process_block or process_block_jax for large cohorts).
+            if (
+                B > 1_000_000
+                and type(self.model).process_block is IModel.process_block
+                and not getattr(self, "_warned_scalar_plugin", False)
+            ):
+                from kmdiff_tpu.utils.logging import logger
+
+                logger.warning(
+                    "custom model %s only implements the scalar process() "
+                    "ABI; scoring %d rows via the per-row loop. Implement "
+                    "process_block (numpy) or process_block_jax (device) "
+                    "for large cohorts.", type(self.model).__name__, B,
+                )
+                self._warned_scalar_plugin = True
             p, sg, mc, mk = self.model.process_block(counts, self.nb_controls)
             keep = p <= self.threshold
             idx = np.nonzero(keep)[0]

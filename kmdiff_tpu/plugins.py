@@ -5,8 +5,16 @@ The reference dlopens a shared object exposing `plugin_name` +
 (reference: include/kmdiff/model_manager.hpp:19-105, plugins/ex_model.cpp).
 The TPU-native analogue loads a Python module — by file path or by
 module:attr spec — exposing a `create_model(config: str) -> IModel`
-factory. Models implement kmdiff_tpu.core.model.IModel: either the scalar
-`process(controls, cases)` ABI or the vectorized `process_block`.
+factory. Models implement kmdiff_tpu.core.model.IModel at one of three
+altitudes (fastest wins when several are present):
+
+  * `process_block_jax(counts_dev, nb_controls)` — jittable jnp function
+    fed fixed [BLOCK_ROWS, S] int32 tiles ON DEVICE (the ABI for
+    billion-row cohorts; example: examples/plugins/
+    device_fold_change_model.py),
+  * `process_block(counts, nb_controls)` — vectorized numpy,
+  * scalar `process(controls, cases)` — reference-parity per-k-mer ABI;
+    falls back to a per-row loop (warned above 1e6 rows).
 """
 
 from __future__ import annotations

@@ -397,3 +397,30 @@ def test_diff_matrix_streaming_bounded(fixture_dir, tmp_path, monkeypatch):
         a = sorted(read_fasta(tmp_path / "out_big" / f))
         b = sorted(read_fasta(tmp_path / "out_tiny" / f))
         assert a == b and res_big["total_kmers"] == 320
+
+
+def test_diff_with_device_model_plugin(fixture_dir, tmp_path):
+    """The process_block_jax plugin ABI (device-tiled custom models) runs
+    through the full pipeline and matches the host numpy plugin
+    byte-for-byte on the fixture (both implement the same fold-change
+    rule; fixture counts are small ints, exact in f32)."""
+    outs = {}
+    for tag, plugin in (
+        ("host", "fold_change_model.py"),
+        ("dev", "device_fold_change_model.py"),
+    ):
+        res = main_diff(_opts(
+            fixture_dir, tmp_path / f"out_{tag}",
+            threshold=0.5, cutoff=1.0,
+            correction=CorrectionType.NOTHING,
+            model_lib_path=f"/root/repo/examples/plugins/{plugin}",
+            model_config="1.5",
+        ))
+        blobs = {}
+        for f in ("control_kmers.fasta", "case_kmers.fasta"):
+            with open(tmp_path / f"out_{tag}" / f, "rb") as fh:
+                blobs[f] = fh.read()
+        outs[tag] = (res, blobs)
+    assert outs["host"][0] == outs["dev"][0]
+    assert outs["host"][0]["control"] + outs["host"][0]["case"] > 0
+    assert outs["host"][1] == outs["dev"][1]
