@@ -5,21 +5,27 @@ The reference forks HAWK's smartpca binary over text files
 "fancynorm": subtract the row mean, scale by 1/sqrt(p(1-p)) with
 p = 1 - sqrt(1 - mean) for diploid data and p = mean for haploid (-V)).
 
-TPU formulation: the sampled geno matrix streams through the device in
-[B, S] blocks; each block is row-normalized and accumulated into the
-S x S Gram matrix with one MXU matmul; the tiny symmetric eigenproblem
-solves on host. Eigenvector signs are fixed deterministically (largest-
-magnitude component positive) — smartpca's signs are arbitrary, and the
-logistic regression downstream is sign-invariant.
+Bit-determinism across layouts. The geno matrix is 0/1 and the
+normalization mean/scale of a row depend ONLY on its row sum r ∈ {0..S},
+so the normalized Gram decomposes exactly over ≤ S+1 row-sum groups:
 
-Mesh scaling: with the session mesh active (parallel.runtime), Gram
-accumulation row-shards the blocks — each device normalizes and contracts
-its own fixed-size block and the host f64-accumulates the per-device
-partials *in block order*. Because the f32 units of work (full
-[block_rows, S] blocks plus one short tail block) are identical with and
-without the mesh, sharded and single-device runs produce bit-identical
-Gram matrices, keeping the product pipeline's byte-identity guarantee
-across device counts.
+    Gram = Σ_r s(r)² · [ G_r − m(r)·(C_r·1ᵀ + 1·C_rᵀ) + m(r)²·n_r·J ]
+
+where G_r = Σ_{i: r_i=r} X_i X_iᵀ and C_r = Σ X_i are INTEGER aggregates
+of 0/1 rows. Integer matmuls are exact in floating point at any blocking
+(f64 always; f32 while partial entries stay < 2²⁴), so G_r/C_r come out
+bit-identical no matter how BLAS threads, XLA fuses, or a mesh shards the
+work — a plain normalized-f32 matmul did NOT (host-thread-count-dependent
+reduction splits shifted PCs by ~1e-6, which the near-degenerate null
+logistic fit amplified into diverging corrected p-values). The ≤ S+1
+group terms then combine on host in fixed ascending-r order with f64
+weights: the whole PCA is bit-reproducible across single-device, mesh,
+and multi-process runs.
+
+Scaling: big groups contract on device in [block_rows, S] f32 tiles (one
+MXU matmul each; entries ≤ block_rows < 2²⁴ keep them exact), row-sharded
+over the session mesh when present; the tiny S×S eigenproblem solves on
+host in f64.
 """
 
 from __future__ import annotations
@@ -30,34 +36,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: groups at or below this row count contract on host (f64 BLAS, exact);
+#: larger groups stream through the device in f32-exact tiles
+HOST_GRAM_ROWS = 1 << 18
 
-@functools.partial(jax.jit, static_argnames=("is_diploid",))
-def _gram_block(X: jax.Array, is_diploid: bool) -> jax.Array:
-    """Row-normalize a [B, S] presence block and return its [S, S] Gram
-    contribution. Rows with p(1-p) == 0 get scale 1 (smartpca behavior);
-    all-zero padding rows contribute exactly zero."""
-    X = X.astype(jnp.float32)
-    mean = jnp.mean(X, axis=1, keepdims=True)
-    if is_diploid:
-        p = 1.0 - jnp.sqrt(jnp.maximum(1.0 - mean, 0.0))
-    else:
-        p = mean
-    var = p * (1.0 - p)
-    scale = jnp.where(var > 0.0, jax.lax.rsqrt(jnp.maximum(var, 1e-30)), 1.0)
-    Xn = (X - mean) * scale
-    return jnp.dot(Xn.T, Xn, preferred_element_type=jnp.float32)
+#: device tile height; must stay < 2^24 so f32 integer partials are exact
+DEVICE_BLOCK_ROWS = 1 << 16
+
+
+@jax.jit
+def _int_gram_block(X: jax.Array) -> jax.Array:
+    """[B, S] 0/1 block -> [S, S] integer Gram, exact in f32 (entries
+    ≤ B < 2^24)."""
+    Xf = X.astype(jnp.float32)
+    return jnp.dot(Xf.T, Xf, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=4)
-def _sharded_gram_fn(mesh, is_diploid: bool):
+def _sharded_int_gram_fn(mesh):
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(X):  # [block_rows, S] shard -> [1, S, S] partial
-        return _gram_block(X, is_diploid)[None]
+    def local(X):  # [block_rows, S] shard -> [1, S, S] integer partial
+        return _int_gram_block(X)[None]
 
     return jax.jit(
         shard_map(local, mesh=mesh, in_specs=(P("rows", None),),
@@ -65,44 +69,35 @@ def _sharded_gram_fn(mesh, is_diploid: bool):
     )
 
 
-def eigenstrat_pca(
-    geno: np.ndarray, is_diploid: bool = True, n_evec: int = 10,
-    block_rows: int = 1 << 16,
-) -> tuple[np.ndarray, np.ndarray]:
-    """PCA of a [M, S] 0/1 presence matrix (rows = sampled k-mers).
-
-    Returns (Z [S, n] per-sample principal components — the pcs.evec
-    columns, unit-norm; evals [n] descending).
-    """
-    M, S = geno.shape
-    n_evec = min(n_evec, S)
-    if M == 0:
-        return np.zeros((S, n_evec)), np.zeros(n_evec)
+def _int_gram(X01: np.ndarray, block_rows: int = DEVICE_BLOCK_ROWS
+              ) -> np.ndarray:
+    """Exact integer Gram of a 0/1 matrix, [S, S] f64. Host f64 BLAS for
+    small groups; device f32-exact tiles (mesh-sharded when available)
+    beyond — every path returns the SAME integers."""
+    n, S = X01.shape
+    block_rows = min(block_rows, DEVICE_BLOCK_ROWS)  # keep f32 exactness
+    if n <= min(HOST_GRAM_ROWS, block_rows):
+        Xf = X01.astype(np.float64)
+        return Xf.T @ Xf
 
     from kmdiff_tpu.parallel.runtime import get_mesh
 
     mesh = get_mesh()
     n_dev = mesh.size if mesh is not None else 1
-
-    # the f32 unit of work is one [block_rows, S] block (plus one short
-    # tail block); the mesh path runs the SAME units, n_dev at a time
-    n_full = M // block_rows
     gram = np.zeros((S, S), dtype=np.float64)
+    n_full = n // block_rows
     if n_dev > 1 and n_full > 1:
-        # n_dev full blocks per dispatch, one per device; per-device
-        # partials come back unsummed and accumulate on host in block
-        # order; devices past the last live block chew exact-zero filler
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        fn = _sharded_gram_fn(mesh, is_diploid)
+        fn = _sharded_int_gram_fn(mesh)
         sharding = NamedSharding(mesh, P("rows", None))
         for g0 in range(0, n_full, n_dev):
             live = min(n_dev, n_full - g0)
-            group = geno[g0 * block_rows: (g0 + live) * block_rows]
+            group = X01[g0 * block_rows: (g0 + live) * block_rows]
             if live < n_dev:
                 group = np.concatenate([
                     group,
-                    np.zeros(((n_dev - live) * block_rows, S), geno.dtype),
+                    np.zeros(((n_dev - live) * block_rows, S), X01.dtype),
                 ])
             stacked = jax.device_put(group, sharding)
             partials = np.asarray(fn(stacked), dtype=np.float64)
@@ -110,18 +105,62 @@ def eigenstrat_pca(
                 gram += partials[d]
     else:
         for lo in range(0, n_full * block_rows, block_rows):
-            block = geno[lo: lo + block_rows]
-            gram += np.asarray(_gram_block(jnp.asarray(block), is_diploid),
-                               dtype=np.float64)
-    if M % block_rows:
-        tail = geno[n_full * block_rows:]
-        gram += np.asarray(_gram_block(jnp.asarray(tail), is_diploid),
+            block = X01[lo: lo + block_rows]
+            gram += np.asarray(
+                _int_gram_block(jnp.asarray(block)), dtype=np.float64
+            )
+    if n % block_rows:
+        tail = X01[n_full * block_rows:]
+        gram += np.asarray(_int_gram_block(jnp.asarray(tail)),
                            dtype=np.float64)
+    return gram
+
+
+def eigenstrat_pca(
+    geno: np.ndarray, is_diploid: bool = True, n_evec: int = 10,
+    block_rows: int = DEVICE_BLOCK_ROWS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """PCA of a [M, S] 0/1 presence matrix (rows = sampled k-mers).
+
+    Returns (Z [S, n] per-sample principal components — the pcs.evec
+    columns, unit-norm; evals [n] descending). Bit-deterministic across
+    device layouts and process counts (see module docstring).
+    """
+    M, S = geno.shape
+    n_evec = min(n_evec, S)
+    if M == 0:
+        return np.zeros((S, n_evec)), np.zeros(n_evec)
+
+    r = geno.sum(axis=1, dtype=np.int64)  # row sums, 0..S
+    order = np.argsort(r, kind="stable")
+    r_sorted = r[order]
+    uniq, starts = np.unique(r_sorted, return_index=True)
+    bounds = np.append(starts, M)
+
+    ones = np.ones(S, dtype=np.float64)
+    J = np.outer(ones, ones)
+    gram = np.zeros((S, S), dtype=np.float64)
+    for gi, rv in enumerate(uniq):
+        a, b = int(bounds[gi]), int(bounds[gi + 1])
+        idx = order[a:b]
+        Xg = np.ascontiguousarray(geno[idx])
+        G = _int_gram(Xg, block_rows)                    # exact integers
+        C = Xg.sum(axis=0, dtype=np.int64).astype(np.float64)
+        n_g = float(b - a)
+        m = float(rv) / S
+        if is_diploid:
+            p = 1.0 - np.sqrt(max(1.0 - m, 0.0))
+        else:
+            p = m
+        var = p * (1.0 - p)
+        s2 = 1.0 / max(var, 1e-30) if var > 0.0 else 1.0
+        gram += s2 * (G - m * (np.outer(C, ones) + np.outer(ones, C))
+                      + (m * m * n_g) * J)
 
     evals, evecs = np.linalg.eigh(gram / M)
-    order = np.argsort(evals)[::-1][:n_evec]
-    evals = evals[order]
-    Z = evecs[:, order]
+    order_e = np.argsort(evals)[::-1][:n_evec]
+    evals = evals[order_e]
+    Z = evecs[:, order_e]
     # deterministic sign: largest-|component| entry positive
     for j in range(Z.shape[1]):
         k = np.argmax(np.abs(Z[:, j]))

@@ -675,3 +675,36 @@ def test_compat_popstrat_e2e(stratified_cohort):
     shared = set(ps_c) & set(ps_d)
     assert shared
     assert any(abs(ps_c[s] - ps_d[s]) > 1e-12 for s in shared)
+
+
+def test_pca_bit_identical_across_blockings_and_exact():
+    """The row-sum-group integer-Gram decomposition makes the PCA
+    bit-identical at ANY blocking (integer aggregates are exact in every
+    float arithmetic), and numerically equal to a direct dense f64
+    normalized Gram. This is what guarantees popstrat reproducibility
+    across host-thread counts / mesh layouts / process counts — a plain
+    normalized-f32 matmul drifted ~1e-6 with the thread split, which the
+    near-degenerate null fit amplified into different significant sets."""
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+
+    rng = np.random.default_rng(23)
+    geno = (rng.random((3000, 40)) < 0.25).astype(np.uint8)
+    for diploid in (True, False):
+        outs = []
+        for br in (64, 512, 1 << 16):
+            outs.append(eigenstrat_pca(geno, is_diploid=diploid,
+                                       n_evec=8, block_rows=br))
+        for Z, ev in outs[1:]:
+            np.testing.assert_array_equal(Z, outs[0][0])
+            np.testing.assert_array_equal(ev, outs[0][1])
+
+        # dense f64 reference: normalize rows, Gram, eigh
+        X = geno.astype(np.float64)
+        m = X.mean(axis=1, keepdims=True)
+        p = 1.0 - np.sqrt(np.maximum(1.0 - m, 0.0)) if diploid else m
+        var = p * (1.0 - p)
+        scale = np.where(var > 0, 1.0 / np.sqrt(np.maximum(var, 1e-30)), 1.0)
+        Xn = (X - m) * scale
+        evals, evecs = np.linalg.eigh(Xn.T @ Xn / len(X))
+        ref_ev = evals[np.argsort(evals)[::-1][:8]]
+        np.testing.assert_allclose(outs[0][1], ref_ev, rtol=1e-9, atol=1e-9)
