@@ -351,7 +351,221 @@ struct Survivor {
   std::array<uint64_t, 4> kmer{};
   double p, mc, mk;
   uint8_t sign;
+  std::vector<uint64_t> row;  // per-sample counts (pop mode only)
 };
+
+// --------------------------------------------------------------------------
+// population-stratification corrector, verbatim reference semantics
+// (pop_strat_corrector: popstrat.hpp:147-367, src/popstrat.cpp:136-370;
+// solver: glm_irls src/linear_model.cpp:297-410 with Doolittle no-pivot
+// LU inverse linear_model.cpp:95-189). Clean-room transcription of the
+// same semantics the product's host parity path implements
+// (kmdiff_tpu/core/linear_model.py, pipeline/popstrat.py compat mode).
+// --------------------------------------------------------------------------
+
+using Mat = std::vector<std::vector<double>>;
+
+bool lu_inverse(const Mat& m, Mat& inv) {
+  // Doolittle LU without pivoting; returns false on singular/nan
+  const size_t n = m.size();
+  Mat lower(n, std::vector<double>(n, 0.0));
+  Mat upper(n, std::vector<double>(n, 0.0));
+  for (size_t i = 0; i < n; ++i) {
+    for (size_t k = i; k < n; ++k) {
+      double s = 0;
+      for (size_t j = 0; j < i; ++j) s += lower[i][j] * upper[j][k];
+      upper[i][k] = m[i][k] - s;
+    }
+    lower[i][i] = 1.0;
+    for (size_t k = i + 1; k < n; ++k) {
+      double s = 0;
+      for (size_t j = 0; j < i; ++j) s += lower[k][j] * upper[j][i];
+      lower[k][i] = (m[k][i] - s) / upper[i][i];
+    }
+  }
+  double det = 1.0;
+  for (size_t i = 0; i < n; ++i) det *= upper[i][i];
+  if (det == 0.0 || std::isnan(det)) return false;
+  inv.assign(n, std::vector<double>(n, 0.0));
+  for (size_t c = 0; c < n; ++c) {
+    std::vector<double> y(n, 0.0), x(n, 0.0);
+    for (size_t r = 0; r < n; ++r) {
+      double s = 0;
+      for (size_t j = 0; j < r; ++j) s += lower[r][j] * y[j];
+      y[r] = (r == c ? 1.0 : 0.0) - s;
+    }
+    for (size_t rr = n; rr-- > 0;) {
+      double s = 0;
+      for (size_t j = rr + 1; j < n; ++j) s += upper[rr][j] * x[j];
+      x[rr] = (y[rr] - s) / upper[rr][rr];
+      if (std::isnan(x[rr])) return false;
+    }
+    for (size_t r = 0; r < n; ++r) inv[r][c] = x[r];
+  }
+  return true;
+}
+
+double sigmoid(double v) { return 1.0 / (1.0 + std::exp(-v)); }
+
+// glm_irls semantics: mse-delta stop (1e-6), g floor 1e-305 row masking,
+// returned weights lag the last solve, singular Hessian freezes
+std::vector<double> glm_irls(const Mat& x, const std::vector<double>& y,
+                             int max_iters) {
+  const size_t n = x.size(), F = x[0].size();
+  std::vector<double> weight(F, 1.0), mu(n), eta(n);
+  for (size_t i = 0; i < n; ++i) {
+    mu[i] = (y[i] + 0.5) / 2.0;
+    eta[i] = std::log(mu[i] / (1.0 - mu[i]));
+  }
+  double prev_error = 1e18;
+  int iters = 0;
+  while (true) {
+    std::vector<double> g(n);
+    bool any_good = false;
+    for (size_t i = 0; i < n; ++i) {
+      g[i] = mu[i] * (1.0 - mu[i]);
+      if (g[i] > 1e-305) any_good = true;
+    }
+    if (!any_good) break;
+    double error = 0;
+    for (size_t i = 0; i < n; ++i) error += (y[i] - mu[i]) * (y[i] - mu[i]);
+    error /= (double)n;
+    if (std::fabs(error - prev_error) < 1e-6) break;
+    prev_error = error;
+
+    // H = Xg^T diag(g) Xg; rhs = Xg^T (g * z), z = eta + (y - mu)/(g+floor)
+    Mat H(F, std::vector<double>(F, 0.0));
+    std::vector<double> rhs(F, 0.0);
+    for (size_t i = 0; i < n; ++i) {
+      if (!(g[i] > 1e-305)) continue;
+      const double z = eta[i] + (y[i] - mu[i]) / (g[i] + 1e-305);
+      const double gz = g[i] * z;
+      for (size_t a = 0; a < F; ++a) {
+        rhs[a] += x[i][a] * gz;
+        const double xga = x[i][a] * g[i];
+        for (size_t b = 0; b < F; ++b) H[a][b] += xga * x[i][b];
+      }
+    }
+    Mat Hinv;
+    if (!lu_inverse(H, Hinv)) break;
+    std::vector<double> w(F, 0.0);
+    for (size_t a = 0; a < F; ++a)
+      for (size_t b = 0; b < F; ++b) w[a] += Hinv[a][b] * rhs[b];
+    iters++;
+    if (iters >= max_iters) break;
+    weight = w;
+    for (size_t i = 0; i < n; ++i) {
+      double e = 0;
+      for (size_t a = 0; a < F; ++a) e += x[i][a] * w[a];
+      eta[i] = e;
+      mu[i] = sigmoid(e);
+    }
+  }
+  return weight;
+}
+
+// reference standardize() VERBATIM, bugs included (src/popstrat.cpp:
+// 325-369): column means divided by the COLUMN count, row i scaled by
+// stddev[i] (the stddev of COLUMN i), rows >= F untouched; alt's last
+// (ratio) column untouched (loop bounds at ncols(null))
+void compat_standardize(Mat& null_f, Mat& alt_f) {
+  const size_t n = null_f.size(), F = null_f[0].size();
+  std::vector<double> means(F, 0.0);
+  for (size_t i = 0; i < n; ++i)
+    for (size_t j = 0; j < F; ++j) means[j] += null_f[i][j];
+  for (size_t j = 1; j < F; ++j) means[j] /= (double)F;  // bug: ncols
+  std::vector<double> stddev(std::max(n, F), 0.0);
+  for (size_t i = 0; i < n; ++i)
+    for (size_t j = 1; j < F; ++j) {
+      const double d = null_f[i][j] - means[j];
+      stddev[j] += d * d;
+    }
+  for (size_t j = 1; j < F; ++j) stddev[j] = std::sqrt(stddev[j] / n);
+  for (size_t i = 0; i < n; ++i) {
+    const double s = stddev[i];  // bug: row index
+    if (std::fabs(s) > 1e-305) {
+      for (size_t j = 1; j < F; ++j) {
+        null_f[i][j] = (null_f[i][j] - means[j]) / s;
+        alt_f[i][j] = (alt_f[i][j] - means[j]) / s;
+      }
+    }
+  }
+}
+
+double likelihood_product(const Mat& feats, const std::vector<double>& w,
+                          const std::vector<double>& y) {
+  double out = 1.0;
+  for (size_t i = 0; i < feats.size(); ++i) {
+    double z = 0;
+    for (size_t a = 0; a < w.size(); ++a) z += feats[i][a] * w[a];
+    const double p = sigmoid(z);
+    out *= (y[i] == 1.0 ? p : 1.0 - p);
+  }
+  return out;
+}
+
+struct PopStrat {
+  Mat alt_features;       // [n, F+1], standardized, last col = ratio slot
+  std::vector<double> Y;  // Control=1, Case=0 (popstrat.cpp:164-172)
+  std::vector<double> totals;
+  double null_prod = 0.0;
+  int max_iter = 100;     // reference default s_max_iter
+  double eps = 1e-30;     // reference default s_epsilon
+
+  void init(const Mat& Z, size_t npc, const std::vector<double>& tot,
+            size_t nb_controls) {
+    const size_t n = tot.size();
+    totals = tot;
+    Y.assign(n, 0.0);
+    for (size_t i = 0; i < nb_controls; ++i) Y[i] = 1.0;
+    // null = [1 | PC1..npc | totals]; alt = [null | 0]
+    Mat null_f(n), alt_f(n);
+    for (size_t i = 0; i < n; ++i) {
+      null_f[i].push_back(1.0);
+      for (size_t j = 0; j < npc; ++j) null_f[i].push_back(Z[i][j]);
+      null_f[i].push_back(tot[i]);
+      alt_f[i] = null_f[i];
+      alt_f[i].push_back(0.0);
+    }
+    compat_standardize(null_f, alt_f);
+    alt_features = alt_f;
+    const auto w = glm_irls(null_f, Y, max_iter);
+    null_prod = likelihood_product(null_f, w, Y);
+  }
+
+  double correct(const std::vector<uint64_t>& row) {
+    const size_t n = Y.size();
+    Mat feats = alt_features;
+    for (size_t i = 0; i < n; ++i)
+      feats[i].back() = (double)row[i] / totals[i];
+    const auto w = glm_irls(feats, Y, max_iter);
+    double alt_prod = likelihood_product(feats, w, Y);
+    double np_ = null_prod;
+    if (np_ == 0.0 && alt_prod == 0.0) { np_ = 0.001; alt_prod = 1.0; }
+    double llr = -2.0 * std::log(np_ / alt_prod);
+    if (std::fabs(llr) < eps || llr < 0.0 || std::isnan(alt_prod)) llr = 0.0;
+    return alglib::chisquarecdistribution(1, llr);
+  }
+};
+
+Mat read_pcs(const std::string& path, size_t n_rows) {
+  std::ifstream f(path);
+  Mat out;
+  std::string line;
+  while (std::getline(f, line)) {
+    std::stringstream ss(line);
+    std::vector<double> row;
+    double v;
+    while (ss >> v) row.push_back(v);
+    if (!row.empty()) out.push_back(row);
+  }
+  if (out.size() != n_rows) {
+    std::fprintf(stderr, "pcs file has %zu rows, want %zu\n", out.size(),
+                 n_rows);
+    std::exit(2);
+  }
+  return out;
+}
 
 std::string decode_kmer(const uint64_t* words, uint32_t k) {
   // 2-bit codes (A=0,C=1,T=2,G=3), 32 bases/word, first base highest
@@ -377,12 +591,16 @@ std::string decode_kmer(const uint64_t* words, uint32_t k) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 8) {
+  if (argc != 8 && argc != 11) {
     std::fprintf(stderr,
                  "usage: %s run_dir out_dir nb_controls nb_cases alpha "
-                 "cutoff corr1[,corr2...]\n", argv[0]);
+                 "cutoff corr1[,corr2...] [pop pcs_full.tsv npc]\n",
+                 argv[0]);
     return 2;
   }
+  const bool pop_mode = argc == 11 && std::string(argv[8]) == "pop";
+  const std::string pcs_path = pop_mode ? argv[9] : "";
+  const size_t npc = pop_mode ? std::strtoull(argv[10], nullptr, 10) : 0;
   const std::string run_dir = argv[1], out_dir = argv[2];
   const size_t nb_controls = std::strtoull(argv[3], nullptr, 10);
   const size_t nb_cases = std::strtoull(argv[4], nullptr, 10);
@@ -403,9 +621,11 @@ int main(int argc, char** argv) {
 
   // histogram-derived totals
   uint64_t sum_controls = 0, sum_cases = 0;
+  std::vector<double> totals(S);
   for (size_t i = 0; i < S; ++i) {
     uint64_t ab = fof[i].ab_min ? fof[i].ab_min : cfg.abundance_min;
     uint64_t t = hist_total(run_dir + "/histograms/" + fof[i].id + ".hist", ab);
+    totals[i] = (double)t;
     if (i < nb_controls) sum_controls += t; else sum_cases += t;
   }
 
@@ -457,9 +677,18 @@ int main(int argc, char** argv) {
         Survivor sv;
         for (size_t w = 0; w < nw; ++w) sv.kmer[w] = cur[w];
         sv.p = p; sv.mc = mc; sv.mk = mk; sv.sign = (uint8_t)sign;
+        if (pop_mode) sv.row = row;
         survivors.push_back(sv);
       }
     }
+  }
+
+  if (pop_mode) {
+    // replace survivor p-values with the popstrat-corrected LRT p
+    // (reference do_pop: diff.hpp:166-225 + popstrat.hpp:249-333)
+    PopStrat ps;
+    ps.init(read_pcs(pcs_path, S), npc, totals, nb_controls);
+    for (auto& sv : survivors) sv.p = ps.correct(sv.row);
   }
 
   std::printf("{\"total_tested\": %" PRIu64 ", \"survivors\": %zu",
