@@ -250,3 +250,59 @@ def test_popstrat_oracle_set_equality(oracle_bin, stratified_run, tmp_path):
         for seq, (p, _mc) in ours.items():
             po = oracle[seq][0]
             assert f"{po:g}" == f"{p:g}", (cls, seq, po, p)
+
+
+def test_oracle_multiword_k77(oracle_bin, tmp_path):
+    """Oracle set equality at k=77 (3 u64 words): validates the multiword
+    merge, decode, and LRT end to end against the independent C++
+    re-execution (BASELINE config 4's large-k regime)."""
+    import numpy as np
+
+    from kmdiff_tpu.cli import main
+
+    rng = np.random.default_rng(13)
+    bases = np.array(list("ACGT"))
+    shared = ["".join(rng.choice(bases, 150)) for _ in range(10)]
+    fof_lines = []
+    for i, sid in enumerate(("C1", "C2", "K1", "K2")):
+        fa = tmp_path / f"{sid}.fasta"
+        with open(fa, "w") as f:
+            for j, s in enumerate(shared):
+                for r in range(2 + (2 if (i >= 2) == (j % 2 == 0) else 0)):
+                    f.write(f">s{j}_{r}\n{s}\n")
+            for j in range(5):
+                f.write(f">r{j}\n{''.join(rng.choice(bases, 150))}\n")
+        fof_lines.append(f"{sid} : {fa}")
+    fof = tmp_path / "fof.txt"
+    fof.write_text("\n".join(fof_lines) + "\n")
+
+    run_dir = tmp_path / "run"
+    assert main([
+        "count", "--file", str(fof), "--run-dir", str(run_dir),
+        "--kmer-size", "77", "--hard-min", "1", "--nb-partitions", "2",
+    ]) == 0
+
+    out = tmp_path / "ours"
+    assert main([
+        "diff", "--km-run-dir", str(run_dir), "-1", "2", "-2", "2",
+        "--output-dir", str(out), "-s", "0.3", "--cutoff", "1.0",
+        "--correction", "disabled",
+    ]) == 0
+
+    oracle_out = tmp_path / "oracle"
+    r = subprocess.run(
+        [oracle_bin, str(run_dir), str(oracle_out), "2", "2", "0.3", "1.0",
+         "disabled"],
+        check=True, capture_output=True, text=True,
+    )
+    counts = json.loads(r.stdout)
+    ours = _read_fasta_class(out / "control_kmers.fasta")
+    ours_case = _read_fasta_class(out / "case_kmers.fasta")
+    assert counts["disabled"] == [len(ours), len(ours_case)]
+    assert len(ours) + len(ours_case) > 0
+    for cls, data in (("control", ours), ("case", ours_case)):
+        oracle = _read_oracle_class(oracle_out / f"disabled_{cls}.txt")
+        assert set(data) == set(oracle), cls
+        assert all(len(s) == 77 for s in data)
+        for seq, (p, _mc) in data.items():
+            assert f"{oracle[seq][0]:g}" == f"{p:g}", (cls, seq)
