@@ -23,6 +23,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
+#: TPU MXU f32 "default" precision runs bf16 passes (~8 mantissa bits) —
+#: catastrophic for IRLS Hessians and log-likelihoods (observed: corrected
+#: popstrat survivor counts 100x off vs the CPU fit on the same inputs).
+#: HIGHEST forces full-f32 multiplies; CPU/GPU ignore it.
+_PREC = jax.lax.Precision.HIGHEST
+
 _EPS_CONV = 1e-6
 _G_FLOOR = 1e-305
 
@@ -58,8 +64,8 @@ def _irls_single(Xi, y, max_iters: int, dt, g_floor, eps_conv=_EPS_CONV):
 
         gz = jnp.where(good, g * eta + (y - mu), 0.0)  # g*z, masked
         gw = jnp.where(good, g, 0.0)
-        H = (Xi * gw[:, None]).T @ Xi
-        rhs = Xi.T @ gz
+        H = jnp.matmul((Xi * gw[:, None]).T, Xi, precision=_PREC)
+        rhs = jnp.matmul(Xi.T, gz, precision=_PREC)
         new_w = jnp.linalg.solve(H, rhs)
         solve_bad = ~jnp.isfinite(new_w).all()
 
@@ -68,7 +74,9 @@ def _irls_single(Xi, y, max_iters: int, dt, g_floor, eps_conv=_EPS_CONV):
         advance = ~converged & ~solve_bad & ~hit_max
 
         w_out = jnp.where(advance, new_w, w)
-        eta_out = jnp.where(advance, Xi @ new_w, eta)
+        eta_out = jnp.where(
+            advance, jnp.matmul(Xi, new_w, precision=_PREC), eta
+        )
         mu_out = jnp.where(advance, jax.nn.sigmoid(eta_out), mu)
         done_out = converged | solve_bad | hit_max
         return (
@@ -135,7 +143,7 @@ def log_likelihood(X: jax.Array, w: jax.Array, y: jax.Array) -> jax.Array:
 
     Computed with log-sigmoid identities (no underflow — the reference's
     raw product underflows for large cohorts, popstrat.hpp:267-310)."""
-    z = jnp.einsum("bnf,bf->bn", X, w)
+    z = jnp.einsum("bnf,bf->bn", X, w, precision=_PREC)
     return _ll_from_logits(z, y)
 
 
@@ -152,6 +160,7 @@ def log_likelihood_lastcol(
 ) -> jax.Array:
     """log_likelihood for the shared-design + per-item-last-column form:
     z = X_base[:, :-1] @ w[:-1] + last * w[-1] — no [B, n, F] tensor."""
-    zb = jnp.einsum("nf,bf->bn", X_base[:, :-1], w[:, :-1])
+    zb = jnp.einsum("nf,bf->bn", X_base[:, :-1], w[:, :-1],
+                    precision=_PREC)
     z = zb + last.astype(zb.dtype) * w[:, -1][:, None]
     return _ll_from_logits(z, y)

@@ -242,6 +242,32 @@ def _compat_standardize(null: np.ndarray, alt: np.ndarray) -> None:
             alt[i, 1:F] = (alt[i, 1:F] - means[1:F]) / s
 
 
+def _design_scale(X: np.ndarray) -> np.ndarray:
+    """Per-column max-abs scale for device-fit conditioning (zeros -> 1)."""
+    s = np.max(np.abs(X), axis=0)
+    s[s == 0] = 1.0
+    return s
+
+
+def _condition_design(X: np.ndarray):
+    """Center + max-abs-scale columns 1.. (the intercept stays) for the
+    DEVICE fits. Exactly log-likelihood-invariant: the intercept spans
+    the centering shift and scaling reparametrizes each weight; what it
+    changes is NUMERICS — raw designs mix ~1e6 totals with O(1) PCs
+    (f32-fatal condition), and even max-abs scaling alone leaves
+    near-constant columns collinear with the intercept, a flat likelihood
+    direction where the mse-delta stop rule parks differently per
+    platform (~0.3 nats of null-LL slack observed TPU vs CPU, shifting
+    EVERY corrected p). Returns (X_conditioned, center, scale)."""
+    c = X[:, 1:].mean(axis=0)
+    Xc = np.array(X, dtype=np.float64, copy=True)
+    Xc[:, 1:] -= c
+    s = np.max(np.abs(Xc[:, 1:]), axis=0)
+    s[s == 0] = 1.0
+    Xc[:, 1:] /= s
+    return Xc, c, s
+
+
 def _likelihood_product(features: np.ndarray, model: np.ndarray,
                         y: np.ndarray) -> float:
     """Raw per-sample likelihood product in the reference's sequential
@@ -344,7 +370,15 @@ class PopStratCorrector:
             # the SAME batched device solver as the per-k-mer alt fits:
             # null and alt must share numerics or every LLR is biased by
             # solver asymmetry (the reference's pivot-free LU fails on
-            # separable cohorts where a pivoted solve converges)
+            # separable cohorts where a pivoted solve converges).
+            #
+            # Column conditioning: raw designs mix ~1e6-scale totals with
+            # O(1) PCs (and the alt fits add ~1e-6 ratios) — condition
+            # ~1e12, beyond f32 (observed on TPU: the null fit diverged by
+            # ~1e11 in weight space at 100-sample scale). Logistic
+            # log-likelihoods are EXACTLY invariant under per-column
+            # scaling (weights transform inversely), so the device fits
+            # run on unit-max-abs columns; artifacts keep raw features.
             import jax.numpy as jnp
 
             from kmdiff_tpu.ops.glm import (
@@ -354,10 +388,16 @@ class PopStratCorrector:
             )
 
             dt = default_dtype()
-            Xd = jnp.asarray(self.null_features[None], dtype=dt)
+            Xc, center, scale = _condition_design(null)
+            Xd = jnp.asarray(Xc[None], dtype=dt)
             yd = jnp.asarray(self.Y, dtype=dt)
             W, _err, _it = batched_irls(Xd, yd, self.max_iteration)
-            self.null_model = np.asarray(W[0], dtype=np.float64)
+            # translate weights back to RAW-feature space for the manifest
+            wc = np.asarray(W[0], dtype=np.float64)
+            w_raw = wc.copy()
+            w_raw[1:] = wc[1:] / scale
+            w_raw[0] = wc[0] - float(np.dot(wc[1:] / scale, center))
+            self.null_model = w_raw
             self.null_loglik = float(np.asarray(log_likelihood(Xd, W, yd))[0])
         else:
             model, singular, nan, _err, _it = glm_newton_raphson(
@@ -464,8 +504,21 @@ class PopStratCorrector:
             return
         dt = default_dtype()
         yd = jnp.asarray(self.Y, dtype=dt)
-        Xb = jnp.asarray(self.alt_features, dtype=dt)  # shared [n, F]
+        # condition the design for f32 device fits (_condition_design):
+        # shared columns center+scale once; each item's ratio column
+        # centers + scales by its OWN stats — per-item conditioning
+        # depends only on that k-mer's data, so results are invariant to
+        # chunk and partition layout. Log-likelihoods are exactly
+        # invariant (intercept spans the shifts).
+        shared_c, _c, _s = _condition_design(self.alt_features[:, :-1])
+        Xb = jnp.asarray(
+            np.column_stack([shared_c, np.zeros(self.size)]), dtype=dt
+        )
         ratios = block.counts_ratio / self.totals[None, :]
+        ratios = ratios - ratios.mean(axis=1, keepdims=True)
+        ratios = ratios / np.maximum(
+            np.abs(ratios).max(axis=1, keepdims=True), 1e-300
+        )
 
         from kmdiff_tpu.parallel.runtime import get_mesh
 

@@ -237,7 +237,7 @@ from kmdiff_tpu.core.corrector import correction_type_from_str
 res = main_diff(DiffOptions(
     kmtricks_dir=os.path.join(work, "run_pop"),
     output_directory=os.path.join(work, "out_dist_pop"),
-    nb_controls=6, nb_cases=6, threshold=0.2, cutoff=1.0,
+    nb_controls=10, nb_cases=10, threshold=0.2, cutoff=1.0,
     correction=correction_type_from_str(correction), nb_threads=2,
     pop_correction=True, kmer_pca=0.05, npc=2, keep_tmp=True,
 ))
@@ -273,15 +273,33 @@ def test_two_process_popstrat_and_resume(tmp_path):
     shared = ["".join(rng.choice(bases, 60)) for _ in range(30)]
     pop_a = ["".join(rng.choice(bases, 60)) for _ in range(20)]
     pop_b = ["".join(rng.choice(bases, 60)) for _ in range(20)]
+    # true case-associated sequences, present in EVERY case regardless of
+    # subpopulation: these survive the population correction (20 samples
+    # keep the null design [1|PC1|PC2|totals] from separating the labels,
+    # which would legitimately drive every corrected p to 1)
+    case_signal = ["".join(rng.choice(bases, 60)) for _ in range(6)]
+    n_ctrl = n_case = 10
     fof_lines = []
-    for i in range(12):
-        is_case = i >= 6
-        in_b = (i % 3 != 0) if is_case else (i % 3 == 0)
+    for i in range(n_ctrl + n_case):
+        is_case = i >= n_ctrl
+        in_b = (i % 5 != 0) if is_case else (i % 2 == 0)
         sid = f"{'CASE' if is_case else 'CONTROL'}{i}"
         fa = tmp_path / f"{sid}.fasta"
         with open(fa, "w") as f:
             for j, s in enumerate(reads(shared, pop_b if in_b else pop_a)):
                 f.write(f">r{j}\n{s}\n")
+            if is_case:
+                for j, s in enumerate(case_signal):
+                    for rep in range(3):
+                        f.write(f">sig{j}_{rep}\n{s}\n")
+            else:
+                # balance per-sample totals APPROXIMATELY: exact balance
+                # makes the totals column constant (collinear with the
+                # intercept -> singular null fit), and no balance lets
+                # totals alone separate the labels so the depth-aware
+                # null correctly absorbs ALL signal
+                for j in range(12 + int(rng.integers(0, 12))):
+                    f.write(f">pad{j}\n{''.join(rng.choice(bases, 60))}\n")
         fof_lines.append(f"{sid} : {fa}")
     (tmp_path / "fof.txt").write_text("\n".join(fof_lines) + "\n")
 
@@ -303,7 +321,7 @@ def test_two_process_popstrat_and_resume(tmp_path):
         refs[out] = main_diff(DiffOptions(
             kmtricks_dir=str(tmp_path / "run_pop"),
             output_directory=str(tmp_path / out),
-            nb_controls=6, nb_cases=6, threshold=0.2, cutoff=1.0,
+            nb_controls=10, nb_cases=10, threshold=0.2, cutoff=1.0,
             correction=corr_type, nb_threads=2, n_devices=1,
             pop_correction=True, kmer_pca=0.05, npc=2,
         ))

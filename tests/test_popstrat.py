@@ -317,7 +317,14 @@ def test_load_corrector_matches_fit(stratified_cohort, tmp_path):
     corr_fit.correct_block(b1)
     corr_load.correct_block(b2)
     np.testing.assert_array_equal(b1.pvalues, b2.pvalues)
-    assert np.all(b1.pvalues <= 1.0) and np.any(b1.pvalues < 1.0)
+    # NOTE: on this 12-sample cohort the labels are linearly separable
+    # from [1|PCs|totals], so both the null and alt fits drive their
+    # log-likelihoods to ~0 and every LLR clips to 0 (p = 1) — the
+    # correct converged-solver behavior (pre-conditioning, the huge raw
+    # totals column broke the null fit and made alts spuriously "win").
+    # Liveness of the correction itself is covered by the stratified e2e
+    # and compat/oracle tests.
+    assert np.all((b1.pvalues >= 0.0) & (b1.pvalues <= 1.0))
 
 
 def test_pop_correction_reduces_structure_hits(stratified_cohort):
@@ -708,3 +715,45 @@ def test_pca_bit_identical_across_blockings_and_exact():
         evals, evecs = np.linalg.eigh(Xn.T @ Xn / len(X))
         ref_ev = evals[np.argsort(evals)[::-1][:8]]
         np.testing.assert_allclose(outs[0][1], ref_ev, rtol=1e-9, atol=1e-9)
+
+
+def test_device_fits_conditioned_to_converge():
+    """The device null/alt fits run on CENTERED + max-abs-scaled designs
+    (exactly LL-invariant; _condition_design): raw designs mix ~1e6-scale
+    totals with O(1) PCs, and even scale-only conditioning leaves
+    near-constant columns collinear with the intercept — a flat direction
+    where the f32 fit parks platform-dependently (observed: TPU vs CPU
+    null LLs 0.3 nats apart, every corrected p shifted, significant sets
+    100x apart). Conditioned, the corrector's null log-likelihood must
+    reach the f64 MLE within solver tolerance."""
+    import scipy.optimize as sopt
+
+    from kmdiff_tpu.pipeline.popstrat import PopStratCorrector
+
+    rng = np.random.default_rng(42)
+    nc = nk = 30
+    n = nc + nk
+    # realistic magnitudes: near-constant millions-scale totals
+    totals = rng.uniform(5.9e6, 6.1e6, n)
+    corr = PopStratCorrector(nc, nk, totals[:nc], totals[nc:], npc=2)
+    Z = rng.normal(0, 0.2, (n, 10))
+    Z[:, 0] += np.repeat([0.2, -0.2], n // 2) * rng.random(n)  # structure
+    corr.set_Z(Z)
+    corr.init_global_features()
+
+    def negll(w, X, y):
+        z = X @ w
+        return np.sum(np.logaddexp(0, -z) * y + np.logaddexp(0, z) * (1 - y))
+
+    # f64 MLE reference: optimize on the conditioned design too (BFGS also
+    # stalls on the raw 1e6-scale design); the LL is invariant either way
+    from kmdiff_tpu.pipeline.popstrat import _condition_design
+
+    Xc, _c, _s = _condition_design(corr.null_features)
+    r = sopt.minimize(negll, np.zeros(Xc.shape[1]), args=(Xc, corr.Y),
+                      method="BFGS", options={"gtol": 1e-12, "maxiter": 5000})
+    assert abs(corr.null_loglik - (-r.fun)) < 1e-3, (
+        corr.null_loglik, -r.fun)
+    # and the persisted RAW-space weights reproduce the same likelihood
+    ll_raw = -negll(corr.null_model, corr.null_features, corr.Y)
+    assert abs(ll_raw - corr.null_loglik) < 1e-3, (ll_raw, corr.null_loglik)
