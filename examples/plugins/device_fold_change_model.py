@@ -7,9 +7,13 @@ a custom model scales to billion-row cohorts — the TPU-native answer to
 the reference's per-k-mer C++ plugin calls (reference:
 include/kmdiff/model_manager.hpp:19-105, plugins/ex_model.cpp).
 
-Numerically identical to examples/plugins/fold_change_model.py (the host
-numpy version); tests assert the two produce the same outputs through
-the full diff pipeline.
+Decision-identical to examples/plugins/fold_change_model.py (the host
+numpy version): the fold test and the sign are computed by integer
+cross-multiplication, which f32 evaluates exactly while every per-row
+count sum stays below 2^24 — no jax_enable_x64 needed. (A naive
+`astype(jnp.float64)` would silently run in f32 and could flip
+borderline decisions vs the host's true f64.) Tests assert the two
+plugins produce the same outputs through the full diff pipeline.
 """
 
 from __future__ import annotations
@@ -30,16 +34,24 @@ class DeviceFoldChangeModel(IModel):
 
     @functools.partial(jax.jit, static_argnames=("self", "nb_controls"))
     def process_block_jax(self, counts, nb_controls: int):
-        counts = counts.astype(jnp.float64)
-        mean_c = counts[:, :nb_controls].mean(axis=1)
-        mean_k = counts[:, nb_controls:].mean(axis=1)
-        ratio = (mean_k + 1.0) / (mean_c + 1.0)
-        sig = (ratio >= self.fold) | (ratio <= 1.0 / self.fold)
+        nc = nb_controls
+        nk = counts.shape[1] - nb_controls
+        # integer row sums, exact in f32 below 2^24
+        sum_c = counts[:, :nc].sum(axis=1).astype(jnp.float32)
+        sum_k = counts[:, nc:].sum(axis=1).astype(jnp.float32)
+        mean_c = sum_c / nc
+        mean_k = sum_k / nk
+        # (mean_k+1)/(mean_c+1) >= fold  <=>  nc*(sum_k+nk) >= fold*nk*(sum_c+nc)
+        # — integer-product form, f32-exact in this example's count domain
+        lhs = nc * (sum_k + nk)
+        rhs = nk * (sum_c + nc)
+        sig = (lhs >= self.fold * rhs) | (self.fold * lhs <= rhs)
         p = jnp.where(sig, 1e-30, 1.0)
+        # mean_c > mean_k  <=>  nk*sum_c > nc*sum_k (exact)
         sign = jnp.where(
-            mean_c > mean_k,
+            nk * sum_c > nc * sum_k,
             jnp.int8(Significance.CONTROL),
-            jnp.where(mean_k > mean_c, jnp.int8(Significance.CASE),
+            jnp.where(nc * sum_k > nk * sum_c, jnp.int8(Significance.CASE),
                       jnp.int8(Significance.NO)),
         )
         return p, sign, mean_c, mean_k

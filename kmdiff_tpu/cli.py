@@ -174,8 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # dev flags (reference: hidden params, src/cli.cpp:300-357)
     dp.add_argument("--learning-rate", type=float, default=0.1)
-    dp.add_argument("--max-iteration", type=int, default=500)
-    dp.add_argument("--epsilon", type=float, default=1e-7)
+    dp.add_argument("--max-iteration", type=int, default=None)
+    dp.add_argument("--epsilon", type=float, default=None)
     dp.add_argument("--stand", action="store_true")
     dp.add_argument("--irls", action="store_true", default=True)
     dp.add_argument("--random-seed", type=int, default=0)

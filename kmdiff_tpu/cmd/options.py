@@ -66,8 +66,11 @@ class DiffOptions:
     covariates: str = ""
     gender: str = ""
     learning_rate: float = 0.1
-    max_iteration: int = 500
-    epsilon: float = 1e-7
+    #: None = "not explicitly set": the default path resolves to 500 / 1e-7
+    #: and --compat-popstrat to the reference defaults 100 / 1e-30
+    #: (popstrat.hpp:168-176 only overrides on an explicit flag)
+    max_iteration: int | None = None
+    epsilon: float | None = None
     stand: bool = False
     irls: bool = True
     keep_tmp: bool = False

@@ -21,21 +21,47 @@ _SRCS = [
 ]
 
 
+def _make(force: bool = False) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR] + (["-B"] if force else []),
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
 def _load():
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
         os.path.getmtime(s) for s in _SRCS
     ):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR],
-                check=True, capture_output=True, timeout=120,
-            )
-        except (subprocess.SubprocessError, OSError):
+        if not _make():
             return None
     try:
         lib = ctypes.CDLL(_SO)
+        return _bind(lib)
     except OSError:
         return None
+    except AttributeError:
+        # a stale .so (e.g. preserved mtimes on a copied tree) predates a
+        # symbol we bind below — force one rebuild, then give up cleanly so
+        # callers' ImportError fallbacks engage instead of crashing
+        try:
+            import _ctypes
+
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        if not _make(force=True):
+            return None
+        try:
+            return _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            return None
+
+
+def _bind(lib):
     lib.lz4_decompress_block.restype = ctypes.c_long
     lib.lz4_decompress_block.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,

@@ -398,26 +398,97 @@ def build_triples_packed(
     count[N:] = 0
     pos = 0
     for s, (k, c) in enumerate(zip(kmers_list, counts_list)):
-        n = len(k)
-        for w in range(nw):
-            v = k[:, w]
-            lanes[2 * w][pos : pos + n] = (v >> np.uint64(32)).astype(np.uint32)
-            lanes[2 * w + 1][pos : pos + n] = (
-                v & np.uint64(0xFFFFFFFF)
-            ).astype(np.uint32)
-        if pack16:
-            cu = c.astype(np.uint16)
-            if s < nb_controls:
-                cu |= np.uint16(0x8000)
-            count[pos : pos + n] = cu
-        else:
-            ci = c.view(np.int32) if c.dtype == np.uint32 else c.astype(np.int32)
-            if s < nb_controls:
-                count[pos : pos + n] = ci | np.int32(-0x80000000)
-            else:
-                count[pos : pos + n] = ci
-        pos += n
+        pos += _pack_rows(
+            lanes, count, pos, k, c, 0, len(k), s, nb_controls, pack16, nw
+        )
     return tuple(lanes), count, N
+
+
+def _split_lanes(lanes, pos: int, k: np.ndarray, a: int, b: int, nw: int):
+    """Split k[a:b]'s u64 words into hi/lo u32 lanes at lanes[*][pos:]."""
+    n = b - a
+    for w in range(nw):
+        v = k[a:b, w]
+        lanes[2 * w][pos : pos + n] = (v >> np.uint64(32)).astype(np.uint32)
+        lanes[2 * w + 1][pos : pos + n] = (
+            v & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32)
+
+
+def _pack_rows(lanes, count, pos: int, k, c, a: int, b: int, s: int,
+               nb_controls: int, pack16: bool, nw: int) -> int:
+    """Pack sample s's rows [a, b) at `pos`: hi/lo key lanes + the count
+    lane with the control flag in the sign/0x8000 bit. The single source
+    of the packed-count convention (both triple builders call this)."""
+    n = b - a
+    if n == 0:
+        return 0
+    _split_lanes(lanes, pos, k, a, b, nw)
+    cs = c[a:b]
+    if pack16:
+        cu = cs.astype(np.uint16)
+        if s < nb_controls:
+            cu |= np.uint16(0x8000)
+        count[pos : pos + n] = cu
+    else:
+        ci = cs.view(np.int32) if cs.dtype == np.uint32 else cs.astype(np.int32)
+        if s < nb_controls:
+            count[pos : pos + n] = ci | np.int32(-0x80000000)
+        else:
+            count[pos : pos + n] = ci
+    return n
+
+
+def quantile_key_split(kmers_list, n_ranges: int, budget_fn, *,
+                       grow: bool, attempts: int, best_effort: bool = False):
+    """Split per-sample SORTED streams into key-disjoint ranges at
+    first-word quantile boundaries (free on sorted streams — the same
+    trick as the chunk and mesh splits).
+
+    budget_fn(R) gives the per-range row budget at R ranges; quantiles
+    are approximate (first-word ties cap the resolution), so sizes are
+    validated and R doubles (grow=True: chunking wants more, smaller
+    chunks) or halves (grow=False: a ranged layout has fixed total rows)
+    on overshoot, up to `attempts` tries.
+
+    Returns (bounds u64 [R_eff-1], slices: per range a list of per-sample
+    (a, b) index pairs, R: the accepted attempt's requested range count —
+    budget_fn's argument). On failure returns None — unless best_effort,
+    which returns the LAST attempt's (possibly over-budget) split: the
+    chunking caller prefers oversized chunks (the kernel's overflow retry
+    absorbs them) over refusing to run when ties defeat the quantiles."""
+    keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
+    if keys.size == 0:
+        return None
+    R = n_ranges
+    last = None
+    for _attempt in range(attempts):
+        if R < 2:
+            return None
+        budget = budget_fn(R)
+        qs = np.quantile(keys, np.linspace(0, 1, R + 1)[1:-1])
+        bounds = np.unique(qs.astype(np.uint64))
+        slices = []
+        ok = True
+        for r in range(len(bounds) + 1):
+            lo_b = bounds[r - 1] if r > 0 else None
+            hi_b = bounds[r] if r < len(bounds) else None
+            per = []
+            n = 0
+            for km in kmers_list:
+                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
+                b = (np.searchsorted(km[:, 0], hi_b)
+                     if hi_b is not None else len(km))
+                per.append((a, b))
+                n += b - a
+            if n > budget:
+                ok = False
+            slices.append(per)
+        if ok:
+            return bounds, slices, R
+        last = (bounds, slices, R)
+        R = R * 2 if grow else R // 2
+    return last if best_effort else None
 
 
 def build_triples_packed_ranged(
@@ -442,41 +513,14 @@ def build_triples_packed_ranged(
     N = int(np.sum(sizes))
     if N == 0 or pad_to < 2 * target_range:
         return None
-    R = pad_to // target_range
-    keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
+    split = quantile_key_split(
+        kmers_list, pad_to // target_range, lambda R: pad_to // R,
+        grow=False, attempts=3,
+    )
+    if split is None:
+        return None
+    _bounds, slices, R = split
     M = pad_to // R
-    for _attempt in range(3):
-        if R < 2:
-            return None
-        qs = np.quantile(keys, np.linspace(0, 1, R + 1)[1:-1])
-        bounds = np.unique(qs.astype(np.uint64))
-        R_eff = len(bounds) + 1
-        # per-sample range slices; verify every range fits its M rows
-        slices = []
-        ok = True
-        for r in range(R_eff):
-            lo_b = bounds[r - 1] if r > 0 else None
-            hi_b = bounds[r] if r < len(bounds) else None
-            per = []
-            n = 0
-            for km in kmers_list:
-                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
-                b = (np.searchsorted(km[:, 0], hi_b)
-                     if hi_b is not None else len(km))
-                per.append((a, b))
-                n += b - a
-            if n > M:
-                ok = False
-                break
-            slices.append(per)
-        if ok:
-            break
-        R //= 2
-        M = pad_to // R
-    else:
-        return None
-    if R < 2:
-        return None
 
     nw = kmers_list[0].shape[1] if kmers_list else 1
     lanes = _staged_lanes(2 * nw, pad_to, slot)
@@ -487,34 +531,10 @@ def build_triples_packed_ranged(
     count.fill(0)
     for r, per in enumerate(slices):
         pos = r * M
-        for s, ((a, b), k, c) in enumerate(
-            zip(per, kmers_list, counts_list)
-        ):
-            n = b - a
-            if n == 0:
-                continue
-            for w in range(nw):
-                v = k[a:b, w]
-                lanes[2 * w][pos : pos + n] = (
-                    v >> np.uint64(32)
-                ).astype(np.uint32)
-                lanes[2 * w + 1][pos : pos + n] = (
-                    v & np.uint64(0xFFFFFFFF)
-                ).astype(np.uint32)
-            cs = c[a:b]
-            if pack16:
-                cu = cs.astype(np.uint16)
-                if s < nb_controls:
-                    cu |= np.uint16(0x8000)
-                count[pos : pos + n] = cu
-            else:
-                ci = (cs.view(np.int32) if cs.dtype == np.uint32
-                      else cs.astype(np.int32))
-                if s < nb_controls:
-                    count[pos : pos + n] = ci | np.int32(-0x80000000)
-                else:
-                    count[pos : pos + n] = ci
-            pos += n
+        for s, ((a, b), k, c) in enumerate(zip(per, kmers_list, counts_list)):
+            pos += _pack_rows(
+                lanes, count, pos, k, c, a, b, s, nb_controls, pack16, nw
+            )
     return tuple(lanes), count, N, M
 
 

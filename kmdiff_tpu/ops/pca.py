@@ -75,8 +75,11 @@ def _int_gram(X01: np.ndarray, block_rows: int = DEVICE_BLOCK_ROWS
     small groups; device f32-exact tiles (mesh-sharded when available)
     beyond — every path returns the SAME integers."""
     n, S = X01.shape
+    # an explicitly shrunk block_rows (tests) also lowers the host cutoff,
+    # forcing the device-tile path; by default host handles <= 2^18 rows
+    host_cut = HOST_GRAM_ROWS if block_rows >= DEVICE_BLOCK_ROWS else block_rows
     block_rows = min(block_rows, DEVICE_BLOCK_ROWS)  # keep f32 exactness
-    if n <= min(HOST_GRAM_ROWS, block_rows):
+    if n <= host_cut:
         Xf = X01.astype(np.float64)
         return Xf.T @ Xf
 

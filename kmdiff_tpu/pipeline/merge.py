@@ -150,6 +150,13 @@ class PartitionProcessor:
         self.sampler = sampler
         self.save_matrix_path = save_matrix_path
         self.phases = _Phases()
+        # persistent per-worker-thread chunk-prefetch executors: the
+        # _Staging buffers are thread-local, so a fresh prefetch thread per
+        # chunked partition would repay the page-fault warmup (~3x H2D) on
+        # every partition; these live for the processor's lifetime and are
+        # shut down by shutdown_prefetchers()
+        self._prefetchers: dict[int, cf.ThreadPoolExecutor] = {}
+        self._prefetchers_lock = threading.Lock()
         self._fast = isinstance(model, PoissonLikelihood)
         if self._fast:
             self.params = LrtParams(
@@ -159,6 +166,29 @@ class PartitionProcessor:
                 model.sum_cases,
                 threshold,
             )
+
+    def _chunk_prefetcher(self) -> cf.ThreadPoolExecutor:
+        """The calling worker thread's persistent prefetch executor.
+
+        Safe to reuse across chunked partitions: a partition's loop only
+        returns after its last chunk's survivors were read on host, so the
+        next partition's build(0) can never rewrite an in-flight staging
+        slot."""
+        tid = threading.get_ident()
+        ex = self._prefetchers.get(tid)
+        if ex is None:
+            ex = cf.ThreadPoolExecutor(
+                1, thread_name_prefix="kmdiff-prefetch"
+            )
+            with self._prefetchers_lock:
+                self._prefetchers[tid] = ex
+        return ex
+
+    def shutdown_prefetchers(self) -> None:
+        with self._prefetchers_lock:
+            pools, self._prefetchers = dict(self._prefetchers), {}
+        for ex in pools.values():
+            ex.shutdown(wait=True)
 
     # -- block scoring -------------------------------------------------------
 
@@ -210,6 +240,29 @@ class PartitionProcessor:
             # billion-row cohorts instead of host-looping
             import jax.numpy as jnp
 
+            if not hasattr(self, "_block_jax_stacked"):
+                import functools
+
+                import jax
+
+                model = self.model
+
+                # fold the plugin's 4 outputs into ONE device array so a
+                # tile costs one host read, not four (each read is a full
+                # dispatch round trip on sync-dispatch rigs)
+                @functools.partial(jax.jit, static_argnames=("nb_controls",))
+                def _stacked(tile, nb_controls):
+                    tp, tsg, tmc, tmk = model.process_block_jax(
+                        tile, nb_controls
+                    )
+                    dt = jnp.result_type(tp, tmc, tmk, jnp.float32)
+                    return jnp.stack([
+                        tp.astype(dt), tsg.astype(dt),
+                        tmc.astype(dt), tmk.astype(dt),
+                    ])
+
+                self._block_jax_stacked = _stacked
+
             p = np.empty(B)
             sg = np.empty(B, dtype=np.int8)
             mc = np.empty(B)
@@ -224,14 +277,14 @@ class PartitionProcessor:
                     tile = pad_tile
                 else:
                     tile = counts_i32[lo:hi]
-                tp, tsg, tmc, tmk = self.model.process_block_jax(
+                out = np.asarray(self._block_jax_stacked(
                     jnp.asarray(tile), self.nb_controls
-                )
+                ))
                 n = hi - lo
-                p[lo:hi] = np.asarray(tp)[:n]
-                sg[lo:hi] = np.asarray(tsg)[:n]
-                mc[lo:hi] = np.asarray(tmc)[:n]
-                mk[lo:hi] = np.asarray(tmk)[:n]
+                p[lo:hi] = out[0, :n]
+                sg[lo:hi] = out[1, :n].astype(np.int8)
+                mc[lo:hi] = out[2, :n]
+                mk[lo:hi] = out[3, :n]
             keep = p <= self.threshold
             idx = np.nonzero(keep)[0]
             p, sg, mc, mk = p[idx], sg[idx], mc[idx], mk[idx]
@@ -412,29 +465,16 @@ class PartitionProcessor:
         ~2x. Quantile splitters are approximate, so chunk sizes are
         validated and the chunk count doubles on overshoot (ties on the
         first k-mer word cap how finely keys can split; bounded retries)."""
+        from kmdiff_tpu.ops.merge_dev import quantile_key_split
+
         N_real = sum(len(k) for k in kmers_list)
-        # splitters: quantiles of the concatenated first-word keys
-        keys = np.concatenate([k[:, 0] for k in kmers_list if len(k)])
         n_chunks = max(2, -(-N_real // max(1, (budget * 7) // 8)))
-        for _attempt in range(4):
-            qs = np.quantile(keys, np.linspace(0, 1, n_chunks + 1)[1:-1])
-            bounds = np.unique(qs.astype(np.uint64))
-            sizes = []
-            for c in range(len(bounds) + 1):
-                lo_b = bounds[c - 1] if c > 0 else None
-                hi_b = bounds[c] if c < len(bounds) else None
-                n = 0
-                for km in kmers_list:
-                    a = (np.searchsorted(km[:, 0], lo_b)
-                         if lo_b is not None else 0)
-                    b = (np.searchsorted(km[:, 0], hi_b)
-                         if hi_b is not None else len(km))
-                    n += b - a
-                sizes.append(n)
-            if max(sizes) <= budget:
-                break
-            n_chunks *= 2
-        del keys
+        # best_effort: after the retries an over-budget chunk is still
+        # preferable to refusing (the kernel's overflow retry absorbs it)
+        bounds, chunk_index_slices, _R = quantile_key_split(
+            kmers_list, n_chunks, lambda _r: budget,
+            grow=True, attempts=4, best_effort=True,
+        )
 
         results = []
         geno_parts = []
@@ -446,12 +486,10 @@ class PartitionProcessor:
         matrix_sink = [] if self.save_matrix_path is not None else None
 
         def chunk_slices(c):
-            lo_b = bounds[c - 1] if c > 0 else None
-            hi_b = bounds[c] if c < len(bounds) else None
             sub_k, sub_c = [], []
-            for km, ct in zip(kmers_list, counts_list):
-                a = np.searchsorted(km[:, 0], lo_b) if lo_b is not None else 0
-                b = np.searchsorted(km[:, 0], hi_b) if hi_b is not None else len(km)
+            for (a, b), km, ct in zip(
+                chunk_index_slices[c], kmers_list, counts_list
+            ):
                 sub_k.append(km[a:b])
                 sub_c.append(ct[a:b])
             return sub_k, sub_c
@@ -485,20 +523,20 @@ class PartitionProcessor:
                 )
                 return sub_k, sub_c, pre
 
-            with cf.ThreadPoolExecutor(1) as prefetch:
-                fut = prefetch.submit(build, 0)
-                for c in range(total):
-                    sub_k, sub_c, pre = fut.result()
-                    if c + 1 < total:
-                        fut = prefetch.submit(build, c + 1)
-                    self.phases.add("build", pre["build_s"])
-                    results.append(
-                        self._device_merge_chunk(
-                            partition, sub_k, sub_c, acc, ksize, finish=False,
-                            sampler_override=shim, matrix_sink=matrix_sink,
-                            prebuilt=pre,
-                        )
+            prefetch = self._chunk_prefetcher()
+            fut = prefetch.submit(build, 0)
+            for c in range(total):
+                sub_k, sub_c, pre = fut.result()
+                if c + 1 < total:
+                    fut = prefetch.submit(build, c + 1)
+                self.phases.add("build", pre["build_s"])
+                results.append(
+                    self._device_merge_chunk(
+                        partition, sub_k, sub_c, acc, ksize, finish=False,
+                        sampler_override=shim, matrix_sink=matrix_sink,
+                        prebuilt=pre,
                     )
+                )
         if self.sampler is not None:
             rows = (
                 np.concatenate(geno_parts)
@@ -975,14 +1013,19 @@ class GlobalMerge:
                     self.progress.tick()
             return r
 
-        if self.nb_threads == 1:
-            for i, fn in enumerate(jobs):
-                task(i, fn)
-        else:
-            with cf.ThreadPoolExecutor(self.nb_threads) as pool:
-                futs = [pool.submit(task, i, fn) for i, fn in enumerate(jobs)]
-                for f in futs:
-                    f.result()  # re-raise worker exceptions
+        try:
+            if self.nb_threads == 1:
+                for i, fn in enumerate(jobs):
+                    task(i, fn)
+            else:
+                with cf.ThreadPoolExecutor(self.nb_threads) as pool:
+                    futs = [
+                        pool.submit(task, i, fn) for i, fn in enumerate(jobs)
+                    ]
+                    for f in futs:
+                        f.result()  # re-raise worker exceptions
+        finally:
+            self.processor.shutdown_prefetchers()
         self.results = results  # type: ignore[assignment]
         return self.results
 

@@ -242,13 +242,6 @@ def _compat_standardize(null: np.ndarray, alt: np.ndarray) -> None:
             alt[i, 1:F] = (alt[i, 1:F] - means[1:F]) / s
 
 
-def _design_scale(X: np.ndarray) -> np.ndarray:
-    """Per-column max-abs scale for device-fit conditioning (zeros -> 1)."""
-    s = np.max(np.abs(X), axis=0)
-    s[s == 0] = 1.0
-    return s
-
-
 def _condition_design(X: np.ndarray):
     """Center + max-abs-scale columns 1.. (the intercept stays) for the
     DEVICE fits. Exactly log-likelihood-invariant: the intercept spans
@@ -289,7 +282,8 @@ class PopStratCorrector:
     def __init__(self, nb_controls: int, nb_cases: int, total_controls,
                  total_cases, npc: int, *, stand: bool = False,
                  irls: bool = True, learning_rate: float = 0.1,
-                 max_iteration: int = 500, epsilon: float = 1e-7,
+                 max_iteration: int | None = None,
+                 epsilon: float | None = None,
                  compat: bool = False):
         self.compat = compat
         self.nb_controls = nb_controls
@@ -302,8 +296,12 @@ class PopStratCorrector:
         self.stand = stand
         self.irls = irls
         self.learning_rate = learning_rate
-        self.max_iteration = max_iteration
-        self.epsilon = epsilon
+        # None = not explicitly set; the default path uses 500 / 1e-7 and
+        # the compat path the reference defaults (see _compat_* below)
+        self._max_iter_arg = max_iteration
+        self._epsilon_arg = epsilon
+        self.max_iteration = 500 if max_iteration is None else max_iteration
+        self.epsilon = 1e-7 if epsilon is None else epsilon
         # label: Control -> 1, Case -> 0 (src/popstrat.cpp:164-172)
         self.Y = np.concatenate(
             [np.ones(nb_controls), np.zeros(nb_cases)]
@@ -416,14 +414,13 @@ class PopStratCorrector:
     # -- compat (reference-verbatim) path --------------------------------------
 
     def _compat_max_iter(self) -> int:
-        # reference default s_max_iter=100; our CLI default is 500, which
-        # in compat means "unset" (the reference setter only overrides on
-        # a nonzero --max-iteration, popstrat.hpp:168-176)
-        return self.max_iteration if self.max_iteration != 500 else 100
+        # reference default s_max_iter=100; the setter only overrides on an
+        # explicit --max-iteration (popstrat.hpp:168-176)
+        return 100 if self._max_iter_arg is None else self._max_iter_arg
 
     def _compat_epsilon(self) -> float:
-        # reference default s_epsilon=1e-30 (ours is 1e-7 = "unset" here)
-        return self.epsilon if self.epsilon != 1e-7 else 1e-30
+        # reference default s_epsilon=1e-30, overridden only explicitly
+        return 1e-30 if self._epsilon_arg is None else self._epsilon_arg
 
     def _compat_fit_null(self) -> None:
         from kmdiff_tpu.core.linear_model import glm_irls

@@ -9,6 +9,11 @@ import os
 import shutil
 
 import numpy as np
+
+PLUGINS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples", "plugins",
+)
 import pytest
 
 from kmdiff_tpu.cmd.diff import main_diff
@@ -266,7 +271,7 @@ def test_diff_with_model_plugin(fixture_dir, tmp_path):
         fixture_dir, tmp_path / "out",
         threshold=0.5, cutoff=1.0,
         correction=CorrectionType.NOTHING,
-        model_lib_path="/root/repo/examples/plugins/fold_change_model.py",
+        model_lib_path=os.path.join(PLUGINS_DIR, "fold_change_model.py"),
         model_config="1.5",
     ))
     assert res["total_kmers"] == 320
@@ -413,7 +418,7 @@ def test_diff_with_device_model_plugin(fixture_dir, tmp_path):
             fixture_dir, tmp_path / f"out_{tag}",
             threshold=0.5, cutoff=1.0,
             correction=CorrectionType.NOTHING,
-            model_lib_path=f"/root/repo/examples/plugins/{plugin}",
+            model_lib_path=os.path.join(PLUGINS_DIR, plugin),
             model_config="1.5",
         ))
         blobs = {}

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -77,7 +79,7 @@ def test_two_process_psum(tmp_path):
             KMDIFF_NUM_PROCESSES="2",
             KMDIFF_PROCESS_ID=str(pid),
             KMDIFF_NO_JAX_CACHE="1",
-            PYTHONPATH="/root/repo",
+            PYTHONPATH=REPO,
         )
         env.pop("XLA_FLAGS", None)
         procs.append(
@@ -188,7 +190,7 @@ def test_two_process_count_diff_pipeline(tmp_path):
             KMDIFF_PROCESS_ID=str(pid),
             KMDIFF_NO_JAX_CACHE="1",
             KMDIFF_TEST_WORK=str(tmp_path),
-            PYTHONPATH="/root/repo",
+            PYTHONPATH=REPO,
         )
         env.pop("XLA_FLAGS", None)
         env.pop("KMDIFF_DEVICES", None)
@@ -342,7 +344,7 @@ def test_two_process_popstrat_and_resume(tmp_path):
                 KMDIFF_NO_JAX_CACHE="1",
                 KMDIFF_TEST_WORK=str(tmp_path),
                 KMDIFF_TEST_CORRECTION=correction,
-                PYTHONPATH="/root/repo",
+                PYTHONPATH=REPO,
             )
             env.pop("XLA_FLAGS", None)
             env.pop("KMDIFF_DEVICES", None)

@@ -1,5 +1,7 @@
 """Multi-chip sharding tests (virtual 8-device CPU mesh via conftest)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,7 +48,7 @@ def test_sharded_step_matches_single_device(mesh):
 def test_dryrun_entrypoints():
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as g
 
     fn, args = g.entry()
