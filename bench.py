@@ -374,6 +374,42 @@ def measure_pipeline(baseline: float) -> dict:
                 f"diff {t2-t1:.1f}s, tested {res['total_kmers']:.3e}")
             shutil.rmtree(run_dir, ignore_errors=True)
 
+        # fused single-shot pipeline (`kmdiff-tpu run`): count streams stay
+        # resident on device and the merge consumes them in place — the
+        # count-file D2H and merge-triple H2D leave the critical path
+        # (pipeline.fused). Two passes: cold compiles the assemble+merge
+        # shapes, warm measures. count_files=True keeps the honest default
+        # (the run dir spill overlaps the merge on background threads).
+        from kmdiff_tpu.cmd.run import main_run
+
+        fused_times = {}
+        fres = None
+        for attempt in ("cold", "warm"):
+            rd = os.path.join(work, f"fused_{attempt}")
+            t0 = time.perf_counter()
+            fres = main_run(
+                CountOptions(
+                    fof=os.path.join(work, "sim", "fof.txt"), directory=rd,
+                    kmer_size=31, hard_min=1, nb_partitions=4, nb_threads=4,
+                    n_devices=1,
+                ),
+                DiffOptions(
+                    kmtricks_dir=rd,
+                    output_directory=os.path.join(work, f"fout_{attempt}"),
+                    nb_controls=n_ctrl, nb_cases=n_case, threshold=0.05,
+                    correction=CorrectionType.BONFERRONI, nb_threads=4,
+                    n_devices=1,
+                ),
+                count_files=True,
+            )
+            fused_times[attempt] = time.perf_counter() - t0
+            log(f"[bench] fused run ({attempt}): {fused_times[attempt]:.1f}s "
+                f"total (FASTA->FASTA), tested {fres['total_kmers']:.3e}")
+            shutil.rmtree(rd, ignore_errors=True)
+        assert fres["total_kmers"] == res["total_kmers"], (
+            "fused and two-stage pipelines disagree on tested k-mers"
+        )
+
         # counting baseline over the same cohort files, measured after the
         # device passes so its CPU burn cannot skew them
         fasta_paths = []
@@ -393,11 +429,20 @@ def measure_pipeline(baseline: float) -> dict:
         log(f"[bench] pipeline diff: {pipe_rate:.3e} kmers tested/s warm "
             f"(IO+transfers included; vs C++ merge-only baseline "
             f"{pipe_rate/baseline:.1f}x)")
+        fused_rate = fres["total_kmers"] / fused_times["warm"]
+        two_stage_warm = times["warm"][0] + times["warm"][1]
+        log(f"[bench] fused run: {fused_rate:.3e} kmers tested/s warm "
+            f"FASTA->FASTA ({two_stage_warm/fused_times['warm']:.2f}x the "
+            f"two-stage flow's {two_stage_warm:.1f}s)")
         out = {
             "pipeline_kmers_per_sec": round(pipe_rate, 1),
             "pipeline_vs_baseline": round(pipe_rate / baseline, 3),
             "counting_bases_per_sec": round(count_rate, 1),
             "pipeline_total_tested": res["total_kmers"],
+            "fused_run_seconds": round(fused_times["warm"], 1),
+            "fused_kmers_per_sec": round(fused_rate, 1),
+            "fused_vs_baseline": round(fused_rate / baseline, 3),
+            "fused_vs_two_stage": round(two_stage_warm / fused_times["warm"], 2),
         }
         if count_baseline:
             out["counting_vs_baseline"] = round(count_rate / count_baseline, 3)

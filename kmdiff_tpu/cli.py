@@ -61,6 +61,73 @@ def _add_common(p: argparse.ArgumentParser):
     )
 
 
+def _add_diff_analysis_flags(p: argparse.ArgumentParser):
+    """Shared diff-analysis flags (correction, popstrat, dev) for
+    the `diff` and `run` subcommands."""
+    p.add_argument(
+        "-u", "--cutoff", type=float, default=1e5,
+        help="divide the significance threshold by N for the merge pre-filter.",
+    )
+    p.add_argument(
+        "-c", "--correction", default="bonferroni",
+        choices=("bonferroni", "benjamini", "sidak", "holm", "disabled"),
+        help="significance correction.",
+    )
+    p.add_argument("-f", "--kff-output", action="store_true",
+                    help="output significant k-mers in kff format.")
+    p.add_argument("-m", "--in-memory", action="store_true",
+                    help="in-memory correction.")
+    p.add_argument("-r", "--cpr", action="store_true",
+                    help="compress intermediate files (accepted for "
+                         "reference-script compatibility; spills are always "
+                         "LZ4-compressed here, as the reference's are — its "
+                         "--cpr flag is parsed but never consumed, "
+                         "diff_opt.hpp:16).")
+    p.add_argument("--keep-tmp", action="store_true", help="keep tmp files.")
+    p.add_argument("--save-sk", action="store_true",
+                    help="build the matrix of significant k-mers.")
+    # custom model
+    p.add_argument("--model", "--cmodel", default="", dest="model_lib_path",
+                    help="custom model plugin (py file or module[:factory]; "
+                         "--cmodel is the reference's spelling, cli.cpp:261).")
+    p.add_argument("--model-config", "--config", default="",
+                    dest="model_config",
+                    help="model configuration string (--config is the "
+                         "reference's spelling, cli.cpp:267).")
+    # population stratification
+    p.add_argument("--pop-correction", action="store_true",
+                    help="apply population stratification correction.")
+    p.add_argument(
+        "--kmer-pca", type=_range_checker(0.0, 0.05), default=0.001,
+        help="proportion of k-mers used for PCA (in [0.0, 0.05]).",
+    )
+    p.add_argument("--ploidy", type=int, default=2, help="ploidy level.")
+    p.add_argument(
+        "--n-pc", type=_range_checker(2, 10, int), default=2,
+        help="number of principal components (in [2, 10]).",
+    )
+    p.add_argument("--covariates", default="", help="covariates file.")
+    p.add_argument("--gender", default="", help="gender file.")
+    p.add_argument(
+        "--compat-popstrat", action="store_true",
+        help="replicate the reference pop_strat_corrector verbatim "
+             "(forced standardize incl. its row-index-stddev bug, "
+             "reference glm_irls, raw likelihood products with the "
+             "0.001/1.0 underflow fallback) for A/B against reference "
+             "kmdiff outputs; slower (host per-k-mer fits) and "
+             "statistically worse than the default batched path.",
+    )
+    # dev flags (reference: hidden params, src/cli.cpp:300-357)
+    p.add_argument("--learning-rate", type=float, default=0.1)
+    p.add_argument("--max-iteration", type=int, default=None)
+    p.add_argument("--epsilon", type=float, default=None)
+    p.add_argument("--stand", action="store_true")
+    p.add_argument("--irls", action="store_true", default=True)
+    p.add_argument("--random-seed", type=int, default=0)
+    p.add_argument("--log-factorial", type=int, default=10000,
+                    help="size of precomputed log-factorial table.")
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="kmdiff-tpu",
@@ -119,69 +186,51 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--significance", type=_range_checker(0.0, 0.5), default=0.05,
         help="significance threshold.",
     )
-    dp.add_argument(
-        "-u", "--cutoff", type=float, default=1e5,
-        help="divide the significance threshold by N for the merge pre-filter.",
-    )
-    dp.add_argument(
-        "-c", "--correction", default="bonferroni",
-        choices=("bonferroni", "benjamini", "sidak", "holm", "disabled"),
-        help="significance correction.",
-    )
-    dp.add_argument("-f", "--kff-output", action="store_true",
-                    help="output significant k-mers in kff format.")
-    dp.add_argument("-m", "--in-memory", action="store_true",
-                    help="in-memory correction.")
-    dp.add_argument("-r", "--cpr", action="store_true",
-                    help="compress intermediate files (accepted for "
-                         "reference-script compatibility; spills are always "
-                         "LZ4-compressed here, as the reference's are — its "
-                         "--cpr flag is parsed but never consumed, "
-                         "diff_opt.hpp:16).")
-    dp.add_argument("--keep-tmp", action="store_true", help="keep tmp files.")
-    dp.add_argument("--save-sk", action="store_true",
-                    help="build the matrix of significant k-mers.")
-    # custom model
-    dp.add_argument("--model", "--cmodel", default="", dest="model_lib_path",
-                    help="custom model plugin (py file or module[:factory]; "
-                         "--cmodel is the reference's spelling, cli.cpp:261).")
-    dp.add_argument("--model-config", "--config", default="",
-                    dest="model_config",
-                    help="model configuration string (--config is the "
-                         "reference's spelling, cli.cpp:267).")
-    # population stratification
-    dp.add_argument("--pop-correction", action="store_true",
-                    help="apply population stratification correction.")
-    dp.add_argument(
-        "--kmer-pca", type=_range_checker(0.0, 0.05), default=0.001,
-        help="proportion of k-mers used for PCA (in [0.0, 0.05]).",
-    )
-    dp.add_argument("--ploidy", type=int, default=2, help="ploidy level.")
-    dp.add_argument(
-        "--n-pc", type=_range_checker(2, 10, int), default=2,
-        help="number of principal components (in [2, 10]).",
-    )
-    dp.add_argument("--covariates", default="", help="covariates file.")
-    dp.add_argument("--gender", default="", help="gender file.")
-    dp.add_argument(
-        "--compat-popstrat", action="store_true",
-        help="replicate the reference pop_strat_corrector verbatim "
-             "(forced standardize incl. its row-index-stddev bug, "
-             "reference glm_irls, raw likelihood products with the "
-             "0.001/1.0 underflow fallback) for A/B against reference "
-             "kmdiff outputs; slower (host per-k-mer fits) and "
-             "statistically worse than the default batched path.",
-    )
-    # dev flags (reference: hidden params, src/cli.cpp:300-357)
-    dp.add_argument("--learning-rate", type=float, default=0.1)
-    dp.add_argument("--max-iteration", type=int, default=None)
-    dp.add_argument("--epsilon", type=float, default=None)
-    dp.add_argument("--stand", action="store_true")
-    dp.add_argument("--irls", action="store_true", default=True)
-    dp.add_argument("--random-seed", type=int, default=0)
-    dp.add_argument("--log-factorial", type=int, default=10000,
-                    help="size of precomputed log-factorial table.")
+    _add_diff_analysis_flags(dp)
     _add_common(dp)
+    # ---- run (TPU-native single-shot: count + diff fused in one process;
+    # no reference equivalent — the reference flow is file-mediated by
+    # construction, src/cmd.cpp:27-48 + diff.hpp:262-377) -------------------
+    rp = sub.add_parser(
+        "run",
+        help="FASTA -> significant k-mers in one process (fused "
+             "count+diff: count streams stay on device; falls back to "
+             "the standard two-stage flow when ineligible).",
+    )
+    rp.add_argument("--file", required=True, help="fof that contains samples.")
+    rp.add_argument("-d", "--run-dir", required=True,
+                    help="count run directory (created).")
+    rp.add_argument(
+        "-k", "--kmer-size", type=_range_checker(8, 128, int), default=31,
+        help="size of k-mers, in [8, 128].",
+    )
+    rp.add_argument("--hard-min", type=int, default=1,
+                    help="min abundance to keep a k-mer.")
+    rp.add_argument("--recurrence-min", type=int, default=1,
+                    help="min number of samples to keep a k-mer.")
+    rp.add_argument("--minimizer-type", type=int, default=0)
+    rp.add_argument("--minimizer-size", type=int, default=10)
+    rp.add_argument("--repartition-type", type=_range_checker(0, 1, int),
+                    default=0)
+    rp.add_argument("--nb-partitions", type=int, default=0,
+                    help="number of partitions (0 = auto).")
+    rp.add_argument(
+        "--no-count-files", action="store_true",
+        help="skip writing the per-partition count files (the run dir "
+             "keeps fof/config/histograms; count-stage resume becomes "
+             "unavailable, later stages still resume from spills).",
+    )
+    rp.add_argument("-o", "--output-dir", default="./kmdiff_output")
+    rp.add_argument("-1", "--nb-controls", type=int, required=True,
+                    help="number of controls.")
+    rp.add_argument("-2", "--nb-cases", type=int, required=True,
+                    help="number of cases.")
+    rp.add_argument(
+        "-s", "--significance", type=_range_checker(0.0, 0.5), default=0.05,
+        help="significance threshold.",
+    )
+    _add_diff_analysis_flags(rp)
+    _add_common(rp)
 
     # ---- popsim (working implementation of the reference's vestigial
     # cohort simulator, include/kmdiff/cmd/popsim.hpp) -----------------------
@@ -336,8 +385,7 @@ def _dispatch(args) -> int:
         main_count(opt, recurrence_min=args.recurrence_min)
         return 0
 
-    if args.command == "diff":
-        from kmdiff_tpu.cmd.diff import main_diff
+    if args.command in ("diff", "run"):
         from kmdiff_tpu.cmd.options import DiffOptions
 
         # reference parity warnings (src/cli.cpp:226-243)
@@ -352,7 +400,9 @@ def _dispatch(args) -> int:
             )
 
         opt = DiffOptions(
-            kmtricks_dir=args.km_run_dir,
+            kmtricks_dir=(
+                args.km_run_dir if args.command == "diff" else args.run_dir
+            ),
             output_directory=args.output_dir,
             nb_controls=args.nb_controls,
             nb_cases=args.nb_cases,
@@ -385,7 +435,29 @@ def _dispatch(args) -> int:
             model_config=args.model_config,
             n_devices=args.devices,
         )
-        main_diff(opt)
+        if args.command == "diff":
+            from kmdiff_tpu.cmd.diff import main_diff
+
+            main_diff(opt)
+            return 0
+
+        from kmdiff_tpu.cmd.options import CountOptions
+        from kmdiff_tpu.cmd.run import main_run
+
+        copt = CountOptions(
+            fof=args.file,
+            directory=args.run_dir,
+            kmer_size=args.kmer_size,
+            hard_min=args.hard_min,
+            minimizer_type=args.minimizer_type,
+            minimizer_size=args.minimizer_size,
+            repartition_type=args.repartition_type,
+            nb_partitions=args.nb_partitions,
+            nb_threads=args.threads,
+            n_devices=args.devices,
+        )
+        main_run(copt, opt, recurrence_min=args.recurrence_min,
+                 count_files=not args.no_count_files)
         return 0
 
     return 1

@@ -1,0 +1,316 @@
+"""`kmdiff-tpu run`: FASTA -> significant k-mers in one process.
+
+The reference ships count and diff as separate commands mediated by the
+run directory (src/cmd.cpp:27-48 forks kmtricks; diff.hpp:262-377 reads
+the files back). `run` is the TPU-native single-shot equivalent: when a
+single local device serves a fresh run, the counting kernels' per-sample
+distinct streams stay RESIDENT on device and the merge consumes them in
+place (pipeline.fused) — the count-file D2H and the merge-triple H2D
+both disappear from the critical path. The kmtricks-format run dir is
+still produced for resume/interop: histogram files synchronously (the
+model's totals come from them), count files from background spill
+threads overlapping the merge — or not at all with --no-count-files.
+
+Outputs are byte-identical to `count` + `diff` (tests/test_fused.py).
+Any configuration the fused path cannot serve (multi-device mesh,
+multi-process --distributed, custom model plugins, resumed runs,
+device-memory pressure, degenerate key spaces) falls back to the
+standard two-stage flow automatically — `run` is always correct, fused
+when eligible.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import shutil
+
+from kmdiff_tpu.cmd.options import CountOptions, DiffOptions, dump_options
+from kmdiff_tpu.utils.logging import logger
+from kmdiff_tpu.utils.timer import Timer
+
+
+def _run_dir_complete(run_dir: str) -> bool:
+    """True when every fof sample has its count file in every partition."""
+    from kmdiff_tpu.io.kmtricks import read_fof
+
+    fof_path = os.path.join(run_dir, "kmtricks.fof")
+    counts = os.path.join(run_dir, "counts")
+    if not (os.path.exists(fof_path) and os.path.isdir(counts)):
+        return False
+    fof = read_fof(run_dir)
+    for pdir in sorted(os.listdir(counts)):
+        for e in fof.entries:
+            if not os.path.exists(
+                os.path.join(counts, pdir, f"{e.id}.kmer.lz4")
+            ):
+                return False
+    return True
+
+
+def _standard_flow(copt: CountOptions, dopt: DiffOptions,
+                   recurrence_min: int) -> dict:
+    from kmdiff_tpu.cmd.count import main_count
+    from kmdiff_tpu.cmd.diff import main_diff
+
+    if not _run_dir_complete(copt.directory):
+        main_count(copt, recurrence_min=recurrence_min)
+    return main_diff(dopt)
+
+
+def main_run(copt: CountOptions, dopt: DiffOptions,
+             recurrence_min: int = 1, count_files: bool = True) -> dict:
+    from kmdiff_tpu.parallel import runtime
+    from kmdiff_tpu.parallel.distributed import is_distributed
+
+    runtime.configure(dopt.n_devices)
+
+    manifest = os.path.join(dopt.output_directory, "options.json")
+    fused_ok = (
+        not is_distributed()
+        and runtime.get_mesh() is None
+        and not dopt.model_lib_path
+        and os.environ.get("KMDIFF_NO_FUSED") != "1"
+        and not os.path.exists(manifest)  # resumes take the standard flow
+        and not _run_dir_complete(copt.directory)
+    )
+    if not fused_ok:
+        logger.info("run: using the standard count+diff flow.")
+        return _standard_flow(copt, dopt, recurrence_min)
+    try:
+        return _main_run_fused(copt, dopt, count_files)
+    except Exception as e:
+        from kmdiff_tpu.pipeline.fused import FusedFallback
+
+        if not isinstance(e, FusedFallback):
+            raise
+        logger.warning(
+            "fused pipeline unavailable (%s); running the standard "
+            "count+diff flow.", e,
+        )
+        return _standard_flow(copt, dopt, recurrence_min)
+
+
+def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
+                    count_files: bool) -> dict:
+    import numpy as np
+
+    from kmdiff_tpu.io.fasta import flat_codes
+    from kmdiff_tpu.io.kmtricks import (
+        Fof,
+        KmtricksConfig,
+        get_total_kmer,
+        hist_from_counts,
+        write_hist,
+    )
+    from kmdiff_tpu.pipeline.fused import (
+        CHUNK_ROWS,
+        HBM_BUDGET,
+        FusedFallback,
+        count_sample_resident,
+        fused_merge,
+    )
+    from kmdiff_tpu.utils.exceptions import InputError
+
+    whole = Timer()
+    fof = Fof.parse(copt.fof)
+    if not fof.entries:
+        raise InputError(f"{copt.fof}: empty fof")
+    if dopt.nb_controls + dopt.nb_cases != len(fof.entries):
+        raise InputError(
+            f"cohort size mismatch: -1 {dopt.nb_controls} + -2 "
+            f"{dopt.nb_cases} != fof's {len(fof.entries)} samples"
+        )
+    fof_dir = os.path.dirname(os.path.abspath(copt.fof))
+    nb_partitions = copt.nb_partitions or 4
+    run_dir = copt.directory
+
+    # run-dir skeleton: fof, config, histograms land synchronously (totals
+    # and any later resume read them); count files are the only bulk
+    os.makedirs(os.path.join(run_dir, "histograms"), exist_ok=True)
+    for p in range(nb_partitions):
+        os.makedirs(
+            os.path.join(run_dir, "counts", f"partition_{p}"), exist_ok=True
+        )
+    shutil.copyfile(copt.fof, os.path.join(run_dir, "kmtricks.fof"))
+    with open(os.path.join(run_dir, "kmdiff-count.opt"), "w") as f:
+        f.write(
+            f"kmer_size={copt.kmer_size}, abundance_min={copt.hard_min}\n"
+        )
+
+    logger.info(
+        "Fused pipeline: counting %d samples (k=%d) to device-resident "
+        "streams.", len(fof.entries), copt.kmer_size,
+    )
+    count_timer = Timer()
+    streams: list = [None] * len(fof.entries)
+    spill_pool = (
+        cf.ThreadPoolExecutor(2, thread_name_prefix="kmdiff-spill")
+        if count_files
+        else None
+    )
+    spill_futs = []
+
+    def one_sample(i: int):
+        entry = fof.entries[i]
+        paths = [
+            p if os.path.isabs(p) else os.path.join(fof_dir, p)
+            for p in entry.paths
+        ]
+        all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
+        hard_min = entry.ab_min or copt.hard_min
+        st = count_sample_resident(
+            all_codes, copt.kmer_size, hard_min, slack=CHUNK_ROWS
+        )
+        streams[i] = st
+        hist = hist_from_counts(st.counts_pre_hard_min, i, copt.kmer_size)
+        write_hist(
+            os.path.join(run_dir, "histograms", f"{entry.id}.hist"), hist
+        )
+        logger.info(
+            "[%s] %d distinct k-mers (%d after hard-min=%d), resident.",
+            entry.id, len(st.counts_pre_hard_min), st.U, hard_min,
+        )
+        if spill_pool is not None:
+            spill_futs.append(
+                spill_pool.submit(_spill_sample, run_dir, entry.id, i,
+                                  copt.kmer_size, nb_partitions, st)
+            )
+        return st.blob.shape[0] * (4 * st.blob.shape[1] + 4)
+
+    with cf.ThreadPoolExecutor(max(1, copt.nb_threads)) as pool:
+        sizes = list(pool.map(one_sample, range(len(fof.entries))))
+    resident = int(np.sum(sizes))
+    logger.info(
+        "Counted %d samples in %s (%.2f GB resident).",
+        len(fof.entries), count_timer.formatted(), resident / 1e9,
+    )
+    if resident > HBM_BUDGET:
+        # streams already live; past-budget cohorts are served by the
+        # two-stage flow instead of risking device OOM mid-merge
+        if spill_pool is not None:
+            for f in spill_futs:
+                f.result()
+            spill_pool.shutdown(wait=True)
+        raise FusedFallback(
+            f"resident streams {resident / 1e9:.1f} GB exceed "
+            f"KMDIFF_FUSED_BYTES={HBM_BUDGET / 1e9:.1f} GB"
+        )
+
+    # ---- diff over resident streams ---------------------------------------
+    from kmdiff_tpu.cmd.diff import _make_accumulators, do_correction
+    from kmdiff_tpu.core.model import PoissonLikelihood
+    from kmdiff_tpu.pipeline.merge import PartitionProcessor
+
+    config = KmtricksConfig(
+        kmer_size=copt.kmer_size,
+        abundance_min=copt.hard_min,
+        nb_partitions=nb_partitions,
+    )
+    os.makedirs(dopt.output_directory, exist_ok=True)
+    part_dir = os.path.join(dopt.output_directory, "partitions")
+    os.makedirs(part_dir, exist_ok=True)
+
+    total_controls, total_cases = get_total_kmer(
+        run_dir, dopt.nb_controls, dopt.nb_cases, config.abundance_min
+    )
+    model = PoissonLikelihood(
+        dopt.nb_controls, dopt.nb_cases, total_controls, total_cases,
+        dopt.log_size,
+    )
+
+    sampler = None
+    pop_dir = ""
+    if dopt.pop_correction:
+        from kmdiff_tpu.pipeline.popstrat import GenoSampler
+
+        pop_dir = os.path.join(dopt.output_directory, "popstrat")
+        os.makedirs(pop_dir, exist_ok=True)
+        sampler = GenoSampler(
+            pop_dir, dopt.kmer_pca, dopt.seed,
+            dopt.nb_controls + dopt.nb_cases,
+        )
+    nb_samples = (
+        (dopt.nb_controls + dopt.nb_cases) if dopt.pop_correction else 0
+    )
+    save_dir = None
+    if dopt.save_sk:
+        save_dir = os.path.join(
+            dopt.output_directory, "positive_kmer_matrix", "matrices"
+        )
+        os.makedirs(save_dir, exist_ok=True)
+
+    processor = PartitionProcessor(
+        model,
+        dopt.nb_controls,
+        dopt.nb_cases,
+        threshold=dopt.threshold / dopt.cutoff,
+        keep_counts=dopt.pop_correction,
+        sampler=sampler,
+        save_matrix_path=save_dir,
+    )
+    accumulators = _make_accumulators(
+        dopt, nb_partitions, copt.kmer_size, part_dir,
+        read=False, nb_samples=nb_samples,
+    )
+
+    merge_timer = Timer()
+    logger.info("Process resident streams")
+    total_kmers, nb_sign, sign_controls, sign_cases = fused_merge(
+        processor, accumulators, streams, copt.kmer_size, nb_partitions,
+        sampler=sampler, save_matrix_dir=save_dir,
+    )
+    if sampler is not None:
+        sampler.close()
+    del streams  # release device memory before popstrat kernels
+    dopt.total_kmers = total_kmers
+    logger.info("Partitions processed (%s)", merge_timer.formatted())
+    logger.info("%d/%d significant k-mers.", nb_sign, total_kmers)
+    logger.info(
+        "Before correction: %d (control), %d (case).",
+        sign_controls, sign_cases,
+    )
+
+    dump_options(dopt, os.path.join(dopt.output_directory, "options.json"))
+
+    if dopt.pop_correction:
+        from kmdiff_tpu.pipeline.popstrat import do_pop
+
+        accumulators = do_pop(dopt, config, accumulators, pop_dir, part_dir)
+
+    counts = do_correction(dopt, config, accumulators, total_kmers)
+    for acc in accumulators:
+        acc.destroy()
+
+    if spill_pool is not None:
+        for f in spill_futs:
+            f.result()  # surface spill errors; usually long done
+        spill_pool.shutdown(wait=True)
+
+    from kmdiff_tpu.utils.rss import get_peak_rss_mb
+
+    logger.info(
+        "Done in %s, Peak RSS -> %d MB.", whole.formatted(),
+        get_peak_rss_mb(),
+    )
+    return {
+        "total_kmers": total_kmers,
+        "control": counts[0],
+        "case": counts[1],
+    }
+
+
+def _spill_sample(run_dir, entry_id, i, kmer_size, nb_partitions, st):
+    """Background run-dir spill: fetch one resident stream and write its
+    per-partition count files (off the merge's critical path)."""
+    from kmdiff_tpu.pipeline.count import (
+        _fetch_counted,
+        write_sample_count_files,
+    )
+
+    kmers, parts, counts = _fetch_counted(
+        st.U, st.blob, st.counts, nb_partitions, st.max_count
+    )
+    write_sample_count_files(
+        run_dir, entry_id, i, kmer_size, nb_partitions, kmers, parts, counts
+    )

@@ -228,6 +228,18 @@ def count_sort_rle_lanes(lanes, max_distinct: int):
     return sort_rle_core(lanes, max_distinct)
 
 
+@functools.partial(jax.jit, static_argnames=("max_distinct", "hard_min"))
+def dedup_sum_lanes(lanes, weights, max_distinct: int, hard_min: int = 1):
+    """Device k-way merge of already-counted sorted streams: sum the
+    weights of identical lane tuples, optionally drop sums below
+    hard_min, and compact (sentinel tails keep the blob globally sorted).
+    The fused count->diff pipeline combines a sample's per-chunk partial
+    counts with this instead of the host's native merge_counted_streams
+    (pipeline.fused)."""
+    return sort_rle_core(lanes, max_distinct, weights=weights,
+                         hard_min=hard_min)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_distinct"))
 def fused_count_kernel(codes, k: int, max_distinct: int):
     """Whole-sample counting in ONE dispatch: extraction -> canonical ->
@@ -239,22 +251,41 @@ def fused_count_kernel(codes, k: int, max_distinct: int):
     return count_sort_rle_lanes(lanes, max_distinct)
 
 
-def sort_rle_core(lanes, max_distinct: int):
+def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1):
     """Sort by lanes, run-length encode, compact — the shared body of the
     single-device kernel and the sharded per-device count
     (parallel.count_step). All-0xFFFFFFFF lane tuples mark padding rows
     (they sort last, being the lexicographic maximum).
+
+    weights: optional [N] u32 per-row counts to SUM per run instead of
+    run-length counting — the k-way "dedup" merge of already-counted
+    streams (partial per-chunk counts of the same k-mer combine exactly;
+    u32 prefix sums may wrap but wrapped differences of a < 2^32 segment
+    sum are exact). hard_min > 1 drops runs whose summed count falls
+    below it IN the compaction sort (dropped runs get sentinel lanes and
+    sink past n_distinct) — the fused pipeline's on-device counterpart of
+    run_count's host hard-min filter.
 
     Compaction is a SECOND all-keys sort that carries the lane values and
     run lengths into position (run starts keep their ascending row index
     as the leading key; every other row shares key N and sinks): 2x the
     nonzero + fancy-gather formulation at 8M rows on TPU, where gathers
     are the dominant cost (bench/README.md). Slots past n_distinct carry
-    zero counts — _fetch_counts_narrow relies on that for its dtype
-    ladder."""
+    zero counts (_fetch_counts_narrow's dtype ladder relies on that) and
+    all-sentinel lanes, so the output lane blob is globally sorted — the
+    fused merge searchsorts chunk bounds over the full column."""
     N = lanes[0].shape[0]
     L = len(lanes)
-    lanes_s = jax.lax.sort(lanes, num_keys=L)
+    if weights is None:
+        lanes_s = jax.lax.sort(lanes, num_keys=L)
+        w_s = None
+    else:
+        # weights ride the sort as an extra KEY (within a run the order is
+        # irrelevant — only the run sum is read; payload-carrying sorts
+        # hit pathological TPU schedules, ops.merge_dev)
+        r0 = jax.lax.sort((*lanes, weights.astype(jnp.uint32)),
+                          num_keys=L + 1)
+        lanes_s, w_s = r0[:L], r0[L]
     valid = ~_lane_sentinel_mask(lanes_s)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
 
@@ -263,17 +294,31 @@ def sort_rle_core(lanes, max_distinct: int):
     for l in lanes_s[1:]:
         change = change | (l[1:] != l[:-1])
     is_start = jnp.concatenate([first, change]) & valid
-    n_distinct = jnp.sum(is_start, dtype=jnp.int32)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     nxt = jnp.where(is_start, idx, N)
     nxt_shift = jnp.concatenate([nxt[1:], jnp.full(1, N, jnp.int32)])
-    # next run start after each row (clipped to the valid prefix): the
-    # run length at a START row is next_start - row
-    se = jnp.minimum(jax.lax.cummin(nxt_shift, reverse=True), n_valid)
-    counts_row = jnp.where(
-        is_start, (se - jnp.minimum(idx, n_valid)).astype(jnp.uint32), 0
-    )
+    if weights is None:
+        # next run start after each row (clipped to the valid prefix): the
+        # run length at a START row is next_start - row
+        se = jnp.minimum(jax.lax.cummin(nxt_shift, reverse=True), n_valid)
+        counts_row = jnp.where(
+            is_start, (se - jnp.minimum(idx, n_valid)).astype(jnp.uint32), 0
+        )
+    else:
+        # weighted runs: per-segment sums as wrapped-u32 prefix-sum
+        # differences at run boundaries (cs[last_of_run] - cs[row] + w):
+        # exact because each true segment sum fits u32
+        se = jnp.clip(
+            jax.lax.cummin(nxt_shift, reverse=True) - 1, 0, N - 1
+        )
+        wv = jnp.where(valid, w_s, jnp.uint32(0))
+        cs = jnp.cumsum(wv, dtype=jnp.uint32)
+        counts_row = jnp.where(is_start, cs[se] - cs + wv, jnp.uint32(0))
+    if hard_min > 1:
+        is_start = is_start & (counts_row >= jnp.uint32(hard_min))
+        counts_row = jnp.where(is_start, counts_row, jnp.uint32(0))
+    n_distinct = jnp.sum(is_start, dtype=jnp.int32)
     # max count in the SAME dispatch, stacked with n_distinct into ONE
     # host-readable stats array: the overflow check and the narrow
     # count-fetch dtype choice cost a single read instead of two scalar
@@ -281,7 +326,11 @@ def sort_rle_core(lanes, max_distinct: int):
     max_count = jnp.max(counts_row)
     stats = jnp.stack([n_distinct, max_count.astype(jnp.int32)])
     key = jnp.where(is_start, idx, jnp.int32(N))
-    r = jax.lax.sort((key, *lanes_s, counts_row), num_keys=L + 2)
+    # sunk rows (duplicates, filtered runs, pads) carry SENTINEL lanes so
+    # the compacted blob stays globally sorted past n_distinct
+    sent = jnp.uint32(0xFFFFFFFF)
+    lanes_out = tuple(jnp.where(is_start, l, sent) for l in lanes_s)
+    r = jax.lax.sort((key, *lanes_out, counts_row), num_keys=L + 2)
     # output shape contract is exactly [max_distinct] rows (the mesh
     # gather addresses per-device slot regions by it); pad when the input
     # is smaller

@@ -495,6 +495,31 @@ def count_sample(
     return count_sample_device(all_codes, k, nb_partitions)
 
 
+def write_sample_count_files(
+    run_dir: str, entry_id: str, sample_idx: int, kmer_size: int,
+    nb_partitions: int, kmers: np.ndarray, parts: np.ndarray,
+    counts: np.ndarray,
+) -> None:
+    """Write one sample's per-partition .kmer.lz4 count files (post
+    hard-min, sorted by (part, kmer)). Shared by run_count and the fused
+    pipeline's background run-dir spill (pipeline.fused)."""
+    cbytes = count_dtype_for(int(counts.max()) if len(counts) else 1)().itemsize
+    bounds = np.searchsorted(parts, np.arange(nb_partitions + 1))
+    for p in range(nb_partitions):
+        lo_i, hi_i = bounds[p], bounds[p + 1]
+        write_kmer_file(
+            os.path.join(
+                run_dir, "counts", f"partition_{p}", f"{entry_id}.kmer.lz4"
+            ),
+            kmers[lo_i:hi_i],
+            counts[lo_i:hi_i],
+            kmer_size,
+            sample_idx=sample_idx,
+            partition=p,
+            count_bytes=cbytes,
+        )
+
+
 def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
     """Build the full run directory (reference: kmtricks pipeline ... --until
     count --hist). recurrence_min is recorded but — like the reference with
@@ -554,21 +579,10 @@ def run_count(opt: CountOptions, recurrence_min: int = 1) -> None:
         else:
             kmers_f, parts_f, counts_f = kmers, parts, counts
 
-        cbytes = count_dtype_for(int(counts_f.max()) if len(counts_f) else 1)().itemsize
-        bounds = np.searchsorted(parts_f, np.arange(nb_partitions + 1))
-        for p in range(nb_partitions):
-            lo_i, hi_i = bounds[p], bounds[p + 1]
-            write_kmer_file(
-                os.path.join(
-                    run_dir, "counts", f"partition_{p}", f"{entry.id}.kmer.lz4"
-                ),
-                kmers_f[lo_i:hi_i],
-                counts_f[lo_i:hi_i],
-                opt.kmer_size,
-                sample_idx=i,
-                partition=p,
-                count_bytes=cbytes,
-            )
+        write_sample_count_files(
+            run_dir, entry.id, i, opt.kmer_size, nb_partitions,
+            kmers_f, parts_f, counts_f,
+        )
         logger.info(
             "[%s] %d distinct k-mers (%d after hard-min=%d; count+fetch "
             "%.1fs, hist+spill %.1fs).",

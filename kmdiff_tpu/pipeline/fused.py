@@ -1,0 +1,554 @@
+"""Fused count->diff pipeline: count streams stay resident in HBM and the
+merge consumes them in place — nothing O(N) ever crosses the host link.
+
+The reference flow is file-mediated by construction: `kmdiff count` forks
+kmtricks to build a run directory of per-partition per-sample count files,
+and `kmdiff diff` reads them back through a k-way merge
+(/root/reference/src/cmd.cpp:27-48, include/kmdiff/merge.hpp:237-317).
+Faithfully reproducing that two-command flow (pipeline.count +
+pipeline.merge) costs a full device->host->device round trip of every
+(k-mer, count) record: at bench-cohort scale ~850 MB of distinct streams
+down and ~1.3 GB of merge triples back up. Both directions are pure
+overhead on an accelerator whose counting kernel ALREADY leaves each
+sample's distinct stream sorted in device memory.
+
+This module is the TPU-native alternative, a single-process
+FASTA -> significant-k-mers path:
+
+  per sample   extract -> sort -> RLE             (ops.codec, as today)
+               [device dedup-sum of chunk streams + hard-min,
+                ops.codec.dedup_sum_lanes — replaces the host k-way
+                merge + host hard-min filter]
+  handoff      per-sample sorted streams REMAIN device arrays
+  merge        global key-range chunks assembled ON DEVICE from stream
+               slices (one jitted gather per chunk) -> the standard
+               merge+LRT kernel (ops.merge_dev.merge_lrt_local)
+  D2H          survivors, counters, and per-sample histograms only
+
+Outputs are identical to the two-stage flow: survivors route to the same
+per-partition accumulators by the same k-mer hash, in the same ascending
+k-mer order per partition, and are rescored by the same exact host f64
+model — so FASTA/KFF outputs (and popstrat-corrected outputs) match
+byte-for-byte. The kmtricks-format run dir can still be written, but OFF
+the critical path (background spill threads overlap the merge); the
+histogram files are always written (totals come from them, exactly like
+the file path: src/kmtricks_utils.cpp:78-139). The only artifact that
+differs is the Eigenstrat .geno/.snp row ORDER (global k-mer order
+instead of partition-major) — the PCs are bit-identical regardless
+because the PCA Gram is an order-free exact integer decomposition
+(ops.pca).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+from kmdiff_tpu.utils.logging import logger
+
+#: per-stream per-chunk row budget for the fused merge: chunks carry
+#: S * CHUNK_ROWS rows into the kernel (pow2 keeps the compiled shape set
+#: to one)
+CHUNK_ROWS = int(os.environ.get("KMDIFF_FUSED_CHUNK_ROWS", 1 << 18))
+
+#: resident-stream device-memory budget; cohorts whose streams exceed it
+#: fall back to the two-stage flow
+HBM_BUDGET = int(float(os.environ.get("KMDIFF_FUSED_BYTES", 6e9)))
+
+
+class FusedFallback(Exception):
+    """The fused path cannot serve this cohort (device memory, degenerate
+    key space, ...); the caller runs the standard count+diff flow."""
+
+
+@dataclasses.dataclass
+class ResidentStream:
+    """One sample's distinct counted k-mer stream, resident on device.
+
+    blob: [P, L] u32 lane blob, rows sorted ascending by lane tuple with
+    an all-0xFFFFFFFF sentinel tail past U — P >= U + CHUNK_ROWS so the
+    assemble kernel's dynamic_slice can never clamp. counts: [P] u32,
+    zeros past U. Rows are post hard-min; counts_pre_hard_min backs the
+    abundance histogram (the reference histograms BEFORE hard-min,
+    pipeline.count.run_count)."""
+
+    blob: object
+    counts: object
+    U: int
+    max_count: int
+    counts_pre_hard_min: np.ndarray
+
+
+def _q4(n: int, lo: int = 1 << 12) -> int:
+    """Smallest quarter-pow2 ({4,5,6,7} << b) >= max(n, lo) — the same
+    bounded compiled-shape ladder utils.transfer.fetch_prefix uses."""
+    n = max(int(n), lo)
+    b = max(n - 1, 1).bit_length()
+    step = 1 << max(b - 3, 0)
+    return -(-n // step) * step
+
+
+def count_sample_resident(
+    all_codes: list[np.ndarray], k: int, hard_min: int,
+    slack: int = CHUNK_ROWS,
+) -> ResidentStream:
+    """Count one sample's distinct canonical k-mers, keeping the result on
+    device (single-device twin of pipeline.count.count_sample_device,
+    which fetches to host for the run-dir files)."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import (
+        count_sort_rle_lanes,
+        dedup_sum_lanes,
+        fused_count_kernel,
+        n_lanes,
+    )
+    from kmdiff_tpu.pipeline.count import (
+        BLOCK,
+        SORT_ROWS,
+        _device_kmer_blocks,
+        _fetch_counts_narrow,
+    )
+
+    L = n_lanes(k)
+    streams: list[tuple[int, object, object]] = []  # (U, blob, counts)
+
+    total_codes = sum(len(c) for c in all_codes) + max(len(all_codes) - 1, 0)
+    if 0 < total_codes <= BLOCK and total_codes >= k:
+        # whole sample in one fused dispatch (pipeline.count's fast path)
+        sep = np.full(1, 0xFF, dtype=np.uint8)
+        parts = []
+        for c in all_codes:
+            if parts:
+                parts.append(sep)
+            parts.append(c)
+        codes = np.concatenate(parts)
+        pad_to = min(BLOCK, 1 << max(14, (len(codes) - 1).bit_length()))
+        if pad_to > len(codes):
+            codes = np.concatenate(
+                [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
+            )
+        W = pad_to - k + 1
+        max_distinct = max(1 << 14, W >> 2)
+        while True:
+            stats, lane_blob, counts = fused_count_kernel(
+                jnp.asarray(codes), k, max_distinct
+            )
+            stats_h = np.asarray(stats)
+            U = int(stats_h[0])
+            if U <= max_distinct:
+                break
+            max_distinct = 1 << max(U - 1, 1).bit_length()
+        streams.append((U, lane_blob, counts))
+    else:
+        blocks = []
+        for codes in all_codes:
+            blocks.extend(_device_kmer_blocks(codes, k))
+        if not blocks:
+            streams = []
+        # group extraction blocks into <= SORT_ROWS sort chunks (same
+        # grouping as the host path; see pipeline.count for the rationale)
+        chunks, cur, cur_rows = [], [], 0
+        for b in blocks:
+            w = b[0].shape[0]
+            while w > SORT_ROWS:
+                if cur:
+                    chunks.append(cur)
+                    cur, cur_rows = [], 0
+                chunks.append([tuple(l[:SORT_ROWS] for l in b)])
+                b = tuple(l[SORT_ROWS:] for l in b)
+                w = b[0].shape[0]
+            if cur and cur_rows + w > SORT_ROWS:
+                chunks.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(b)
+            cur_rows += w
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            lanes = (
+                [jnp.concatenate([b[i] for b in chunk]) for i in range(L)]
+                if len(chunk) > 1
+                else list(chunk[0])
+            )
+            N = lanes[0].shape[0]
+            P = 1 << max(12, (N - 1).bit_length())
+            if P > N:
+                pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
+                lanes = [jnp.concatenate([l, pad]) for l in lanes]
+            max_distinct = min(P, max(1 << 14, P >> 2))
+            while True:
+                stats, lane_blob, counts = count_sort_rle_lanes(
+                    tuple(lanes), max_distinct
+                )
+                stats_h = np.asarray(stats)
+                U = int(stats_h[0])
+                if U <= max_distinct:
+                    break
+                max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+            streams.append((U, lane_blob, counts))
+
+    if not streams:
+        empty = np.zeros(0, np.uint32)
+        blob = jnp.full((_q4(slack), L), 0xFFFFFFFF, jnp.uint32)
+        return ResidentStream(
+            blob, jnp.zeros(_q4(slack), jnp.uint32), 0, 0, empty
+        )
+
+    if len(streams) == 1:
+        U, blob, counts = streams[0]
+        # stats_h survives from the retry loop of whichever kernel produced
+        # the single stream
+    else:
+        # device k-way dedup: chunk streams may share k-mers with PARTIAL
+        # counts (a chunk boundary splits a sample's occurrences);
+        # dedup_sum_lanes sums them exactly (host twin: native
+        # merge_counted_streams)
+        cat_lanes = tuple(
+            jnp.concatenate([s[1][:, i] for s in streams]) for i in range(L)
+        )
+        cat_w = jnp.concatenate([s[2] for s in streams])
+        N = cat_lanes[0].shape[0]
+        P = 1 << max(14, (N - 1).bit_length())
+        if P > N:
+            padl = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
+            cat_lanes = tuple(jnp.concatenate([l, padl]) for l in cat_lanes)
+            cat_w = jnp.concatenate([cat_w, jnp.zeros(P - N, jnp.uint32)])
+        stats, blob, counts = dedup_sum_lanes(cat_lanes, cat_w, P)
+        stats_h = np.asarray(stats)
+        U = int(stats_h[0])
+    mx = int(stats_h[1])
+
+    # pre-hard-min narrow counts: the abundance histogram and the
+    # histogram-derived totals are defined on the UNFILTERED stream
+    counts_pre = _fetch_counts_narrow(counts, U, mx)
+
+    if hard_min > 1 and U:
+        # second pass over the (already distinct) stream: dedup is a no-op,
+        # the hard-min filter compacts sub-threshold runs away
+        cols = tuple(blob[:, i] for i in range(L))
+        stats2, blob, counts = dedup_sum_lanes(
+            cols, counts, blob.shape[0], hard_min=hard_min
+        )
+        st2 = np.asarray(stats2)
+        U, mx = int(st2[0]), int(st2[1])
+
+    # final resident shape: quarter-pow2 >= U + slack so chunk
+    # dynamic_slices never clamp (sentinel rows keep the blob sorted)
+    P_final = _q4(U + slack)
+    if blob.shape[0] < P_final:
+        padl = jnp.full((P_final - blob.shape[0], L), 0xFFFFFFFF, jnp.uint32)
+        blob = jnp.concatenate([blob, padl], axis=0)
+        counts = jnp.concatenate(
+            [counts, jnp.zeros(P_final - counts.shape[0], jnp.uint32)]
+        )
+    elif blob.shape[0] > P_final:
+        blob = blob[:P_final]
+        counts = counts[:P_final]
+    return ResidentStream(blob, counts, U, int(mx), counts_pre)
+
+
+# ---------------------------------------------------------------------------
+# fused merge: key-range chunks assembled on device from resident streams
+# ---------------------------------------------------------------------------
+
+def _assemble_chunk_impl(blobs, counts, starts, lens, M, nb_controls, mode):
+    import jax
+    import jax.numpy as jnp
+
+    S = len(blobs)
+    L = blobs[0].shape[1]
+    iota = jnp.arange(M, dtype=jnp.int32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    lane_parts, cnt_parts, smp_parts = [], [], []
+    for s in range(S):
+        st = starts[s].astype(jnp.int32)
+        bl = jax.lax.dynamic_slice(blobs[s], (st, jnp.int32(0)), (M, L))
+        c = jax.lax.dynamic_slice(counts[s], (st,), (M,))
+        v = iota < lens[s]
+        bl = jnp.where(v[:, None], bl, sent)
+        if mode == "p16":
+            cp = c.astype(jnp.uint16)
+            if s < nb_controls:
+                cp = cp | jnp.uint16(0x8000)
+            cp = jnp.where(v, cp, jnp.uint16(0))
+        elif mode == "p32":
+            ci = jax.lax.bitcast_convert_type(c, jnp.int32)
+            if s < nb_controls:
+                ci = ci | jnp.int32(-0x80000000)
+            cp = jnp.where(v, ci, jnp.int32(0))
+        else:  # full: sample ids + raw counts (geno/rows/wide paths)
+            cp = jnp.where(
+                v, jax.lax.bitcast_convert_type(c, jnp.int32), jnp.int32(0)
+            )
+            smp_parts.append(
+                jnp.where(v, jnp.int32(s), jnp.int32(0))
+            )
+        lane_parts.append(bl)
+        cnt_parts.append(cp)
+    lanes_cat = jnp.concatenate(lane_parts, axis=0)  # [S*M, L]
+    count_cat = jnp.concatenate(cnt_parts)
+    sample_cat = (
+        jnp.concatenate(smp_parts) if mode == "full"
+        else jnp.zeros(1, jnp.int32)
+    )
+    return (
+        tuple(lanes_cat[:, i] for i in range(L)),
+        sample_cat,
+        count_cat,
+    )
+
+
+_assemble_chunk = None
+
+
+def _get_assemble():
+    global _assemble_chunk
+    if _assemble_chunk is None:
+        import functools
+
+        import jax
+
+        _assemble_chunk = functools.partial(
+            jax.jit, static_argnames=("M", "nb_controls", "mode")
+        )(_assemble_chunk_impl)
+    return _assemble_chunk
+
+
+class _RoutingAccumulator:
+    """Fans survivor blocks out to the per-partition accumulators by the
+    same k-mer hash the counting repartition uses — chunks arrive in
+    ascending global k-mer order, so every partition's accumulator
+    receives its survivors in the same ascending order as the two-stage
+    flow (content-identical spills, byte-identical final outputs)."""
+
+    def __init__(self, accs, nb_partitions: int):
+        self.accs = accs
+        self.n = nb_partitions
+
+    def push_block(self, block) -> None:
+        from kmdiff_tpu.io.accumulator import KmerSignBlock
+        from kmdiff_tpu.pipeline.count import host_partition_ids
+
+        if not len(block):
+            return
+        parts = host_partition_ids(block.kmers, self.n)
+        for p in range(self.n):
+            m = parts == p
+            if not m.any():
+                continue
+            self.accs[p].push_block(KmerSignBlock(
+                block.kmers[m],
+                block.pvalues[m],
+                block.signs[m],
+                block.mean_control[m],
+                block.mean_case[m],
+                None if block.counts_ratio is None else block.counts_ratio[m],
+            ))
+
+    def finish(self) -> None:
+        for a in self.accs:
+            a.finish()
+
+
+def _pick_split_lane(streams, L: int) -> int:
+    """First lane with >1 value over the valid rows (k <= 16 leaves the
+    high lane constant-zero); verified EXACTLY on device, not just on the
+    subsample."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def lane_minmax(blob):
+        cols = tuple(blob[:, i] for i in range(blob.shape[1]))
+        valid = cols[0] != jnp.uint32(0xFFFFFFFF)
+        for c in cols[1:]:
+            valid = valid | (c != jnp.uint32(0xFFFFFFFF))
+        out = []
+        for c in cols:
+            out.append(jnp.min(jnp.where(valid, c, jnp.uint32(0xFFFFFFFF))))
+            out.append(jnp.max(jnp.where(valid, c, jnp.uint32(0))))
+        return jnp.stack(out)
+
+    mm = [np.asarray(lane_minmax(s.blob)) for s in streams if s.U]
+    if not mm:
+        return 0
+    for lane in range(L):
+        lo = min(int(m[2 * lane]) for m in mm)
+        hi = max(int(m[2 * lane + 1]) for m in mm)
+        if hi > lo:
+            return lane
+    return L  # a single distinct k-mer cohort: no split lane needed
+
+
+def fused_merge(
+    processor,
+    accumulators,
+    streams: list[ResidentStream],
+    ksize: int,
+    nb_partitions: int,
+    sampler=None,
+    save_matrix_dir=None,
+    M: int | None = None,
+):
+    """Run the merge+LRT over resident streams in global key-range chunks.
+
+    Returns (total_kmers, nb_sign, sign_controls, sign_cases)."""
+    if M is None:
+        import kmdiff_tpu.pipeline.fused as _self
+
+        M = _self.CHUNK_ROWS  # call-time read: tests shrink it
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.pipeline.merge import _ChunkSamplerShim
+
+    S = len(streams)
+    L = streams[0].blob.shape[1]
+    want_geno = sampler is not None
+    want_rows = processor.keep_counts or save_matrix_dir is not None
+    wide = processor.params.wide_sums
+    packed = not (want_rows or want_geno or wide)
+    if packed:
+        mode = "p16" if max(s.max_count for s in streams) < 0x8000 else "p32"
+    else:
+        mode = "full"
+
+    split = _pick_split_lane(streams, L)
+    total_rows = sum(s.U for s in streams)
+    if split >= L:
+        n_chunks = 1
+        starts = np.zeros((1, S), np.int32)
+        lens = np.array([[s.U for s in streams]], np.int32)
+        if max(s.U for s in streams) > M:
+            raise FusedFallback("degenerate key space exceeds chunk budget")
+        bounds_n = 0
+    else:
+        # pooled subsampled keys -> quantile bounds on the split lane;
+        # exact per-stream positions via one device searchsorted each
+        subs = []
+        for s in streams:
+            col = np.asarray(s.blob[::1024, split])
+            subs.append(col[col != 0xFFFFFFFF])
+        pool = np.concatenate(subs) if subs else np.zeros(0, np.uint32)
+        if pool.size == 0:
+            pool = np.zeros(1, np.uint32)
+        n_chunks = max(1, -(-total_rows // max(S * (M // 2), 1)))
+        for _attempt in range(5):
+            if n_chunks == 1:
+                starts = np.zeros((1, S), np.int32)
+                lens = np.array([[s.U for s in streams]], np.int32)
+                if int(lens.max()) <= M:
+                    break
+                n_chunks = 2
+                continue
+            qs = np.quantile(pool, np.linspace(0, 1, n_chunks + 1)[1:-1])
+            bounds = np.unique(qs.astype(np.uint64).astype(np.uint32))
+            bd = jnp.asarray(bounds)
+            pos = np.stack([
+                np.minimum(
+                    np.asarray(jnp.searchsorted(
+                        s.blob[:, split], bd, side="left"
+                    )),
+                    s.U,
+                )
+                for s in streams
+            ], axis=1)  # [n_bounds, S]
+            ends = np.concatenate(
+                [pos, np.array([[s.U for s in streams]], np.int64)], axis=0
+            )
+            starts = np.concatenate(
+                [np.zeros((1, S), np.int64), pos], axis=0
+            ).astype(np.int32)
+            lens = (ends - starts).astype(np.int32)
+            if int(lens.max()) <= M:
+                n_chunks = len(bounds) + 1
+                break
+            n_chunks *= 2
+        else:
+            raise FusedFallback(
+                f"key-range split failed (max extent {int(lens.max())} > "
+                f"chunk budget {M})"
+            )
+
+    assemble = _get_assemble()
+    blobs = tuple(s.blob for s in streams)
+    counts_t = tuple(s.counts for s in streams)
+
+    shim = None
+    geno_parts: list[np.ndarray] = []
+    if want_geno:
+        shim = _ChunkSamplerShim(sampler, geno_parts)
+    matrix_sink: list | None = [] if save_matrix_dir is not None else None
+
+    total = nsign = n_ctrl = n_case = 0
+    t0 = time.perf_counter()
+    racc = _RoutingAccumulator(accumulators, nb_partitions)
+    for c in range(starts.shape[0]):
+        lanes_t, sample_d, count_d = assemble(
+            blobs, counts_t,
+            jnp.asarray(starts[c]), jnp.asarray(lens[c]),
+            M=M, nb_controls=processor.nb_controls, mode=mode,
+        )
+        pre = {
+            "lanes_dev": lanes_t,
+            "sample_dev": sample_d,
+            "count_dev": count_d,
+            "pad_to": S * M,
+            "packed": packed,
+            "range_rows": 0,
+            "build_s": 0.0,
+        }
+        res = processor._device_merge_chunk(
+            0, [None] * S, [None] * S, racc, ksize, finish=False,
+            sampler_override=shim, matrix_sink=matrix_sink, prebuilt=pre,
+        )
+        total += res.total_kmers
+        nsign += res.nb_sign
+        n_ctrl += res.sign_controls
+        n_case += res.sign_cases
+    racc.finish()
+
+    if want_geno:
+        rows = (
+            np.concatenate(geno_parts)
+            if geno_parts
+            else np.zeros((0, S), np.uint8)
+        )
+        # single partition-0 add: geno rows arrive in global k-mer order
+        # (the .geno artifact row order differs from the two-stage flow's
+        # partition-major order; the PCs are bit-identical either way —
+        # module docstring)
+        sampler.add_sampled(0, rows)
+    if matrix_sink is not None:
+        _write_routed_matrices(
+            processor, matrix_sink, ksize, nb_partitions, S
+        )
+    logger.debug(
+        "fused merge: %d chunks of %d x %d rows in %.2fs",
+        starts.shape[0], S, M, time.perf_counter() - t0,
+    )
+    return total, nsign, n_ctrl, n_case
+
+
+def _write_routed_matrices(processor, sink, ksize, nb_partitions, S):
+    from kmdiff_tpu.core.kmer import n_words
+    from kmdiff_tpu.pipeline.count import host_partition_ids
+
+    nw = n_words(ksize)
+    km = (
+        np.concatenate([m[0] for m in sink])
+        if sink
+        else np.zeros((0, nw), np.uint64)
+    )
+    ct = (
+        np.concatenate([m[1] for m in sink])
+        if sink
+        else np.zeros((0, S), np.int32)
+    )
+    parts = host_partition_ids(km, nb_partitions)
+    for p in range(nb_partitions):
+        m = parts == p
+        processor._write_matrix(p, km[m], ct[m], ksize)

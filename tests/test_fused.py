@@ -1,0 +1,282 @@
+"""Fused count->diff pipeline (`run`): byte-identity vs the two-stage flow.
+
+The fused path (pipeline.fused + cmd.run) keeps count streams resident on
+device and merges them in place; these tests pin that its outputs — FASTA
+sets AND the spilled run dir — are byte-identical to `count` + `diff`,
+across hard-min filtering, multi-chunk samples, popstrat, save-sk, and
+forced tiny merge chunks. No reference equivalent exists (the reference
+flow is file-mediated by construction, src/cmd.cpp:27-48).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from kmdiff_tpu.cmd.count import main_count
+from kmdiff_tpu.cmd.diff import main_diff
+from kmdiff_tpu.cmd.options import CountOptions, DiffOptions
+from kmdiff_tpu.cmd.run import main_run
+from kmdiff_tpu.core.corrector import CorrectionType
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    """Small synthetic cohort: 4+4 samples, 60bp reads, with case-enriched
+    sequences so some k-mers are genuinely significant."""
+    out = tmp_path_factory.mktemp("fused_cohort")
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    shared = ["".join(rng.choice(bases, 60)) for _ in range(25)]
+    case_private = ["".join(rng.choice(bases, 60)) for _ in range(12)]
+
+    fof_lines = []
+    nc = nk = 4
+    for i in range(nc + nk):
+        is_case = i >= nc
+        fa = out / f"s{i}.fasta"
+        with open(fa, "w") as f:
+            j = 0
+            for _ in range(50):
+                src = (
+                    case_private
+                    if (is_case and rng.random() < 0.6)
+                    else shared
+                )
+                f.write(f">r{j}\n{src[rng.integers(0, len(src))]}\n")
+                j += 1
+                # duplicate some reads so counts exceed 1 (hard-min tests)
+                if rng.random() < 0.5:
+                    f.write(f">r{j}\n{src[rng.integers(0, len(src))]}\n")
+                    j += 1
+        fof_lines.append(f"s{i} : {fa}")
+    fof = out / "fof.txt"
+    fof.write_text("\n".join(fof_lines) + "\n")
+    return str(fof), nc, nk
+
+
+def _copts(fof, run_dir, **kw):
+    base = dict(fof=fof, directory=str(run_dir), kmer_size=21, hard_min=1,
+                nb_partitions=4, nb_threads=2, n_devices=1)
+    base.update(kw)
+    return CountOptions(**base)
+
+
+def _dopts(run_dir, out, nc, nk, **kw):
+    base = dict(
+        kmtricks_dir=str(run_dir), output_directory=str(out),
+        nb_controls=nc, nb_cases=nk, threshold=0.05, cutoff=1e5,
+        correction=CorrectionType.BONFERRONI, nb_threads=2, n_devices=1,
+        keep_tmp=True,
+    )
+    base.update(kw)
+    return DiffOptions(**base)
+
+
+def _no_fallback(monkeypatch):
+    """Fail the test if main_run silently takes the standard flow."""
+    import kmdiff_tpu.cmd.run as runmod
+
+    def boom(*a, **k):
+        raise AssertionError("fused path fell back to the standard flow")
+
+    monkeypatch.setattr(runmod, "_standard_flow", boom)
+
+
+def _run_both(cohort, tmp_path, monkeypatch, copt_kw=None, dopt_kw=None,
+              count_files=True, expect_fused=True):
+    fof, nc, nk = cohort
+    if expect_fused:
+        _no_fallback(monkeypatch)
+    res_f = main_run(
+        _copts(fof, tmp_path / "kc_f", **(copt_kw or {})),
+        _dopts(tmp_path / "kc_f", tmp_path / "out_f", nc, nk,
+               **(dopt_kw or {})),
+        count_files=count_files,
+    )
+    main_count(_copts(fof, tmp_path / "kc_s", **(copt_kw or {})))
+    res_s = main_diff(
+        _dopts(tmp_path / "kc_s", tmp_path / "out_s", nc, nk,
+               **(dopt_kw or {}))
+    )
+    assert res_f == res_s
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        a = (tmp_path / "out_f" / name).read_bytes()
+        b = (tmp_path / "out_s" / name).read_bytes()
+        assert a == b, f"{name} differs between fused and two-stage"
+    return res_f
+
+
+def test_fused_matches_two_stage(cohort, tmp_path, monkeypatch):
+    res = _run_both(cohort, tmp_path, monkeypatch)
+    assert res["total_kmers"] > 0
+    assert res["control"] + res["case"] > 0
+    # the background spill reproduces run_count's files byte-for-byte
+    for p in range(4):
+        pdir_f = tmp_path / "kc_f" / "counts" / f"partition_{p}"
+        pdir_s = tmp_path / "kc_s" / "counts" / f"partition_{p}"
+        names = sorted(os.listdir(pdir_s))
+        assert sorted(os.listdir(pdir_f)) == names
+        for n in names:
+            assert (pdir_f / n).read_bytes() == (pdir_s / n).read_bytes()
+    hdir_f = tmp_path / "kc_f" / "histograms"
+    hdir_s = tmp_path / "kc_s" / "histograms"
+    for n in sorted(os.listdir(hdir_s)):
+        assert (hdir_f / n).read_bytes() == (hdir_s / n).read_bytes()
+
+
+def test_fused_hard_min_multichunk(cohort, tmp_path, monkeypatch):
+    """Tiny extraction/sort budgets force every sample through the
+    multi-chunk path (device dedup-sum of partial counts) with a hard-min
+    filter on top — the numerically riskiest fused configuration."""
+    import kmdiff_tpu.pipeline.count as cmod
+
+    monkeypatch.setattr(cmod, "BLOCK", 1 << 12)
+    monkeypatch.setattr(cmod, "SORT_ROWS", 1 << 12)
+    res = _run_both(cohort, tmp_path, monkeypatch,
+                    copt_kw=dict(hard_min=2))
+    assert res["total_kmers"] > 0
+
+
+def test_fused_tiny_merge_chunks(cohort, tmp_path, monkeypatch):
+    """A 1k-row chunk budget forces many key-range chunks through the
+    assemble kernel; outputs must not depend on the chunking."""
+    import kmdiff_tpu.pipeline.fused as fmod
+
+    monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 10)
+    _run_both(cohort, tmp_path, monkeypatch)
+
+
+def test_fused_popstrat_matches(cohort, tmp_path, monkeypatch):
+    """Popstrat rides the fused merge's full (sample-id) mode; corrected
+    outputs must match the two-stage flow byte-for-byte (the .geno row
+    ORDER differs by design; the PCs and corrected p-values do not)."""
+    res = _run_both(
+        cohort, tmp_path, monkeypatch,
+        dopt_kw=dict(pop_correction=True, kmer_pca=0.05, npc=2,
+                     threshold=0.2),
+    )
+    assert res["total_kmers"] > 0
+    geno_f = (tmp_path / "out_f" / "popstrat" / "gwas_eigenstratX.geno")
+    geno_s = (tmp_path / "out_s" / "popstrat" / "gwas_eigenstratX.geno")
+    # same sampled k-mers (deterministic hash sampling) => same multiset
+    # of presence rows, in a different order
+    assert sorted(geno_f.read_text().splitlines()) == sorted(
+        geno_s.read_text().splitlines()
+    )
+    # bit-identical PCs despite the row-order difference (exact integer
+    # Gram decomposition, ops.pca)
+    assert (tmp_path / "out_f" / "popstrat" / "pcs.evec").read_bytes() == (
+        tmp_path / "out_s" / "popstrat" / "pcs.evec"
+    ).read_bytes()
+
+
+def test_fused_save_sk_matches(cohort, tmp_path, monkeypatch):
+    _run_both(cohort, tmp_path, monkeypatch, dopt_kw=dict(save_sk=True))
+    mdir_f = tmp_path / "out_f" / "positive_kmer_matrix" / "matrices"
+    mdir_s = tmp_path / "out_s" / "positive_kmer_matrix" / "matrices"
+    names = sorted(os.listdir(mdir_s))
+    assert sorted(os.listdir(mdir_f)) == names and names
+    for n in names:
+        assert (mdir_f / n).read_bytes() == (mdir_s / n).read_bytes()
+
+
+def test_fused_no_count_files(cohort, tmp_path, monkeypatch):
+    """--no-count-files: outputs identical, histograms present, count
+    files absent."""
+    res = _run_both(cohort, tmp_path, monkeypatch, count_files=False)
+    assert res["total_kmers"] > 0
+    for p in range(4):
+        assert not os.listdir(
+            tmp_path / "kc_f" / "counts" / f"partition_{p}"
+        )
+    assert os.listdir(tmp_path / "kc_f" / "histograms")
+
+
+def test_fused_p32_packed_counts(tmp_path, monkeypatch):
+    """A sample whose top k-mer count exceeds 2^15 exercises the i32
+    sign-bit count packing (mode p32) instead of the u16 fast path."""
+    _no_fallback(monkeypatch)
+    fof = tmp_path / "fof.txt"
+    lines = []
+    for i, reps in enumerate((40000, 3)):
+        fa = tmp_path / f"s{i}.fasta"
+        with open(fa, "w") as f:
+            for j in range(reps):
+                f.write(f">r{j}\nACGTACGTACGTACGTACGTA\n")
+            f.write(">u\nTTTTTGGGGGCCCCCAAAAAT\n")
+        lines.append(f"s{i} : {fa}")
+    fof.write_text("\n".join(lines) + "\n")
+    res_f = main_run(
+        _copts(str(fof), tmp_path / "kc_f"),
+        _dopts(tmp_path / "kc_f", tmp_path / "out_f", 1, 1, threshold=0.5,
+               cutoff=1.0, correction=CorrectionType.NOTHING),
+    )
+    main_count(_copts(str(fof), tmp_path / "kc_s"))
+    res_s = main_diff(
+        _dopts(tmp_path / "kc_s", tmp_path / "out_s", 1, 1, threshold=0.5,
+               cutoff=1.0, correction=CorrectionType.NOTHING)
+    )
+    assert res_f == res_s and res_f["total_kmers"] > 0
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_f" / name).read_bytes() == (
+            tmp_path / "out_s" / name
+        ).read_bytes()
+
+
+def test_run_falls_back_on_mesh(cohort, tmp_path):
+    """n_devices=0 resolves the 8-device test mesh; `run` must serve the
+    cohort through the standard flow and still produce correct output."""
+    fof, nc, nk = cohort
+    res = main_run(
+        _copts(fof, tmp_path / "kc", n_devices=0),
+        _dopts(tmp_path / "kc", tmp_path / "out", nc, nk, n_devices=0),
+    )
+    assert res["total_kmers"] > 0
+    assert (tmp_path / "out" / "control_kmers.fasta").exists()
+
+
+def test_run_resumes_via_standard_flow(cohort, tmp_path, monkeypatch):
+    """A rerun with an existing manifest takes the standard resume path
+    (count files exist from the first run's spill)."""
+    fof, nc, nk = cohort
+    _no_fallback(monkeypatch)
+    res1 = main_run(
+        _copts(fof, tmp_path / "kc"),
+        _dopts(tmp_path / "kc", tmp_path / "out", nc, nk),
+    )
+    # rerun: manifest + complete run dir -> standard flow (resume)
+    import kmdiff_tpu.cmd.run as runmod
+
+    monkeypatch.undo()
+    called = {}
+
+    real = runmod._standard_flow
+
+    def spy(copt, dopt, rmin):
+        called["yes"] = True
+        return real(copt, dopt, rmin)
+
+    monkeypatch.setattr(runmod, "_standard_flow", spy)
+    res2 = main_run(
+        _copts(fof, tmp_path / "kc"),
+        _dopts(tmp_path / "kc", tmp_path / "out", nc, nk),
+    )
+    assert called.get("yes")
+    # a fully-resumed run skips correction (main_diff semantics: outputs
+    # already exist) but agrees on the totals and leaves outputs intact
+    assert res2["total_kmers"] == res1["total_kmers"]
+    assert (tmp_path / "out" / "case_kmers.fasta").exists()
+
+
+def test_run_cli_entrypoint(cohort, tmp_path):
+    from kmdiff_tpu.cli import main
+
+    fof, nc, nk = cohort
+    rc = main([
+        "run", "--file", fof, "-d", str(tmp_path / "kc"),
+        "-k", "21", "-o", str(tmp_path / "out"),
+        "-1", str(nc), "-2", str(nk), "--devices", "1",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "control_kmers.fasta").exists()
