@@ -206,11 +206,17 @@ def count_sample_resident(
         # device k-way dedup: chunk streams may share k-mers with PARTIAL
         # counts (a chunk boundary splits a sample's occurrences);
         # dedup_sum_lanes sums them exactly (host twin: native
-        # merge_counted_streams)
+        # merge_counted_streams). Blobs slice to quarter-pow2(U) first —
+        # their pow2 caps can be ~50% sentinel pad, which would double the
+        # dedup sort's bytes (slices are shape-bucketed, compile-cheap)
+        cuts = [min(_q4(s[0]), s[1].shape[0]) for s in streams]
         cat_lanes = tuple(
-            jnp.concatenate([s[1][:, i] for s in streams]) for i in range(L)
+            jnp.concatenate([s[1][:c, i] for s, c in zip(streams, cuts)])
+            for i in range(L)
         )
-        cat_w = jnp.concatenate([s[2] for s in streams])
+        cat_w = jnp.concatenate(
+            [s[2][:c] for s, c in zip(streams, cuts)]
+        )
         N = cat_lanes[0].shape[0]
         P = 1 << max(14, (N - 1).bit_length())
         if P > N:

@@ -224,6 +224,26 @@ def test_fused_p32_packed_counts(tmp_path, monkeypatch):
         ).read_bytes()
 
 
+def test_fused_large_k_multiword(cohort, tmp_path, monkeypatch):
+    """k=55 (2 u64 words, 4 u32 lanes; reads are 60 bp) drives the
+    multi-lane assemble path and split-lane selection over wide keys."""
+    res = _run_both(cohort, tmp_path, monkeypatch,
+                    copt_kw=dict(kmer_size=55))
+    assert res["total_kmers"] > 0
+
+
+def test_fused_small_k_degenerate_hi_lane(cohort, tmp_path, monkeypatch):
+    """k=13 packs into one u64 word whose HIGH u32 lane is constant zero —
+    the split-lane picker must skip it and bound on the low lane."""
+    import kmdiff_tpu.pipeline.fused as fmod
+
+    # tiny chunks force real multi-chunk splitting on the low lane
+    monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 9)
+    res = _run_both(cohort, tmp_path, monkeypatch,
+                    copt_kw=dict(kmer_size=13))
+    assert res["total_kmers"] > 0
+
+
 def test_run_falls_back_on_mesh(cohort, tmp_path):
     """n_devices=0 resolves the 8-device test mesh; `run` must serve the
     cohort through the standard flow and still produce correct output."""
