@@ -59,7 +59,12 @@ def _standard_flow(copt: CountOptions, dopt: DiffOptions,
 
 
 def main_run(copt: CountOptions, dopt: DiffOptions,
-             recurrence_min: int = 1, count_files: bool = True) -> dict:
+             recurrence_min: int = 1, count_files: bool = True,
+             timings: dict | None = None) -> dict:
+    """timings: optional dict filled with per-phase wall seconds
+    ("count", "merge", "total") when the fused path serves the run —
+    bench/profiling hook; the RESULT dict stays comparable to
+    main_diff's."""
     from kmdiff_tpu.parallel import runtime
     from kmdiff_tpu.parallel.distributed import is_distributed
 
@@ -78,7 +83,7 @@ def main_run(copt: CountOptions, dopt: DiffOptions,
         logger.info("run: using the standard count+diff flow.")
         return _standard_flow(copt, dopt, recurrence_min)
     try:
-        return _main_run_fused(copt, dopt, count_files)
+        return _main_run_fused(copt, dopt, count_files, timings)
     except Exception as e:
         from kmdiff_tpu.pipeline.fused import FusedFallback
 
@@ -92,7 +97,7 @@ def main_run(copt: CountOptions, dopt: DiffOptions,
 
 
 def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
-                    count_files: bool) -> dict:
+                    count_files: bool, timings: dict | None = None) -> dict:
     import numpy as np
 
     from kmdiff_tpu.io.fasta import flat_codes
@@ -100,14 +105,14 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         Fof,
         KmtricksConfig,
         get_total_kmer,
-        hist_from_counts,
+        hist_from_device,
         write_hist,
     )
     from kmdiff_tpu.pipeline.fused import (
-        CHUNK_ROWS,
         HBM_BUDGET,
         FusedFallback,
         count_sample_resident,
+        fused_chunk_rows,
         fused_merge,
     )
     from kmdiff_tpu.utils.exceptions import InputError
@@ -143,6 +148,7 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         "streams.", len(fof.entries), copt.kmer_size,
     )
     count_timer = Timer()
+    chunk_rows = fused_chunk_rows(len(fof.entries))
     streams: list = [None] * len(fof.entries)
     spill_pool = (
         cf.ThreadPoolExecutor(2, thread_name_prefix="kmdiff-spill")
@@ -160,16 +166,22 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
         hard_min = entry.ab_min or copt.hard_min
         st = count_sample_resident(
-            all_codes, copt.kmer_size, hard_min, slack=CHUNK_ROWS
+            all_codes, copt.kmer_size, hard_min, slack=chunk_rows
         )
         streams[i] = st
-        hist = hist_from_counts(st.counts_pre_hard_min, i, copt.kmer_size)
+        # histogram fields come off the kernels' stats read (device
+        # abundance cardinalities + exact window totals) — no O(distinct)
+        # counts transfer; bytes match hist_from_counts on the same stream
+        hist = hist_from_device(
+            st.hist_uvec, st.total_mass, st.n_distinct_pre, i,
+            copt.kmer_size,
+        )
         write_hist(
             os.path.join(run_dir, "histograms", f"{entry.id}.hist"), hist
         )
         logger.info(
             "[%s] %d distinct k-mers (%d after hard-min=%d), resident.",
-            entry.id, len(st.counts_pre_hard_min), st.U, hard_min,
+            entry.id, st.n_distinct_pre, st.U, hard_min,
         )
         if spill_pool is not None:
             spill_futs.append(
@@ -181,6 +193,8 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     with cf.ThreadPoolExecutor(max(1, copt.nb_threads)) as pool:
         sizes = list(pool.map(one_sample, range(len(fof.entries))))
     resident = int(np.sum(sizes))
+    if timings is not None:
+        timings["count"] = count_timer.elapsed()
     logger.info(
         "Counted %d samples in %s (%.2f GB resident).",
         len(fof.entries), count_timer.formatted(), resident / 1e9,
@@ -258,12 +272,14 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     logger.info("Process resident streams")
     total_kmers, nb_sign, sign_controls, sign_cases = fused_merge(
         processor, accumulators, streams, copt.kmer_size, nb_partitions,
-        sampler=sampler, save_matrix_dir=save_dir,
+        sampler=sampler, save_matrix_dir=save_dir, M=chunk_rows,
     )
     if sampler is not None:
         sampler.close()
     del streams  # release device memory before popstrat kernels
     dopt.total_kmers = total_kmers
+    if timings is not None:
+        timings["merge"] = merge_timer.elapsed()
     logger.info("Partitions processed (%s)", merge_timer.formatted())
     logger.info("%d/%d significant k-mers.", nb_sign, total_kmers)
     logger.info(
@@ -289,6 +305,8 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
 
     from kmdiff_tpu.utils.rss import get_peak_rss_mb
 
+    if timings is not None:
+        timings["total"] = whole.elapsed()
     logger.info(
         "Done in %s, Peak RSS -> %d MB.", whole.formatted(),
         get_peak_rss_mb(),

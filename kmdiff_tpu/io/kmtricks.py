@@ -400,6 +400,44 @@ def hist_from_counts(
     )
 
 
+def hist_from_device(
+    uvec: np.ndarray, total: int, unique: int, idx: int, kmer_size: int,
+    lower: int = 1, upper: int = 255,
+) -> Histogram:
+    """Build the per-sample abundance histogram from a DEVICE-computed
+    abundance-cardinality vector instead of the full distinct-count array
+    (which the fused pipeline never transfers to host).
+
+    uvec: [257] i32 from ops.codec.sort_rle_core(with_hist=True) —
+    uvec[b] = number of distinct k-mers with count b for b in 1..255,
+    uvec[256] = number with count > 255 (uvec[0] is pad junk).
+    total: exact total counted k-mer mass (sum of all counts = valid
+    windows, accumulated on host from the kernels' n_valid stats).
+    unique: pre-filter distinct count. Identical bytes to
+    hist_from_counts on the same stream: every in-range bin's total mass
+    is bin_value * cardinality, and the oversize mass is the exact
+    remainder."""
+    if upper - lower + 1 != 255 or lower != 1:
+        raise ValueError("hist_from_device covers the default 1..255 bins")
+    uvec = np.asarray(uvec, dtype=np.uint64)
+    unique_per_bin = uvec[1:256].copy()
+    total_per_bin = unique_per_bin * np.arange(1, 256, dtype=np.uint64)
+    oversize_unique = int(uvec[256])
+    oversize_total = int(total) - int(total_per_bin.sum())
+    return Histogram(
+        idx=idx,
+        lower=lower,
+        upper=upper,
+        unique=int(unique),
+        total=int(total),
+        oversize_unique=oversize_unique,
+        oversize_total=oversize_total,
+        unique_per_bin=unique_per_bin,
+        total_per_bin=total_per_bin,
+        kmer_size=kmer_size,
+    )
+
+
 # ---------------------------------------------------------------------------
 # run-dir level helpers (reference parity)
 # ---------------------------------------------------------------------------

@@ -197,8 +197,8 @@ def _lane_sentinel_mask(lanes):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("max_distinct",))
-def count_sort_rle_lanes(lanes, max_distinct: int):
+@functools.partial(jax.jit, static_argnames=("max_distinct", "with_hist"))
+def count_sort_rle_lanes(lanes, max_distinct: int, with_hist: bool = False):
     """Fused per-sample counting for any k: sort + run-length encode on
     device (the TPU replacement for kmtricks' per-partition count loop,
     SURVEY.md §2.2 row 1).
@@ -217,19 +217,25 @@ def count_sort_rle_lanes(lanes, max_distinct: int):
     fetched k-mers and stable-sorts by them — which preserves the
     per-partition k-mer order (pipeline.count._fetch_counted).
 
-    Returns (stats [2] i32 = (n_distinct, max_count),
-    lane_blob [max_distinct, L] u32, counts [max_distinct] u32); host
-    slices by n_distinct (retry with a larger cap on overflow). stats
-    rides the same dispatch AS ONE ARRAY so overflow check + narrow-fetch
-    dtype choice cost a single host read, and the lanes leave in a single
-    blob fetch (per-array reads each pay a dispatch round trip on
-    sync-dispatch rigs — pipeline.count._fetch_stream).
+    Returns (stats i32, lane_blob [max_distinct, L] u32,
+    counts [max_distinct] u32); host slices by n_distinct (retry with a
+    larger cap on overflow; max_distinct = N removes the retry entirely —
+    the cap only sizes the output blob, never the sort). stats rides the
+    same dispatch AS ONE ARRAY — [3] = (n_distinct, max_count, n_valid),
+    or [3 + 257] with with_hist (see sort_rle_core) — so overflow check +
+    narrow-fetch dtype choice + histogram cost a single host read, and
+    the lanes leave in a single blob fetch (per-array reads each pay a
+    dispatch round trip on sync-dispatch rigs —
+    pipeline.count._fetch_stream).
     """
-    return sort_rle_core(lanes, max_distinct)
+    return sort_rle_core(lanes, max_distinct, with_hist=with_hist)
 
 
-@functools.partial(jax.jit, static_argnames=("max_distinct", "hard_min"))
-def dedup_sum_lanes(lanes, weights, max_distinct: int, hard_min: int = 1):
+@functools.partial(
+    jax.jit, static_argnames=("max_distinct", "hard_min", "with_hist")
+)
+def dedup_sum_lanes(lanes, weights, max_distinct: int, hard_min: int = 1,
+                    with_hist: bool = False):
     """Device k-way merge of already-counted sorted streams: sum the
     weights of identical lane tuples, optionally drop sums below
     hard_min, and compact (sentinel tails keep the blob globally sorted).
@@ -237,21 +243,25 @@ def dedup_sum_lanes(lanes, weights, max_distinct: int, hard_min: int = 1):
     counts with this instead of the host's native merge_counted_streams
     (pipeline.fused)."""
     return sort_rle_core(lanes, max_distinct, weights=weights,
-                         hard_min=hard_min)
+                         hard_min=hard_min, with_hist=with_hist)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_distinct"))
-def fused_count_kernel(codes, k: int, max_distinct: int):
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_distinct", "with_hist")
+)
+def fused_count_kernel(codes, k: int, max_distinct: int,
+                       with_hist: bool = False):
     """Whole-sample counting in ONE dispatch: extraction -> canonical ->
     sort -> run-length encode (the single-device twin of
     parallel.count_step.make_sharded_count_kernel). Minimizes dispatch
     count on sync-dispatch rigs and lets XLA fuse the extraction ladder
     straight into the sort's operand."""
     lanes, _ok = extract_canonical_lanes(codes, k, mask_invalid=True)
-    return count_sort_rle_lanes(lanes, max_distinct)
+    return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
 
 
-def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1):
+def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1,
+                  with_hist: bool = False):
     """Sort by lanes, run-length encode, compact — the shared body of the
     single-device kernel and the sharded per-device count
     (parallel.count_step). All-0xFFFFFFFF lane tuples mark padding rows
@@ -319,12 +329,31 @@ def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1):
         is_start = is_start & (counts_row >= jnp.uint32(hard_min))
         counts_row = jnp.where(is_start, counts_row, jnp.uint32(0))
     n_distinct = jnp.sum(is_start, dtype=jnp.int32)
-    # max count in the SAME dispatch, stacked with n_distinct into ONE
-    # host-readable stats array: the overflow check and the narrow
-    # count-fetch dtype choice cost a single read instead of two scalar
+    # max count + valid-row count in the SAME dispatch, stacked with
+    # n_distinct into ONE host-readable stats array: overflow check,
+    # narrow count-fetch dtype choice, and exact total-mass accounting
+    # (the fused pipeline's histogram totals: n_valid = counted windows
+    # for weight-free runs) cost a single read instead of separate scalar
     # round-trips (~25-30 ms each on sync-dispatch rigs)
     max_count = jnp.max(counts_row)
-    stats = jnp.stack([n_distinct, max_count.astype(jnp.int32)])
+    stats = jnp.stack([n_distinct, max_count.astype(jnp.int32), n_valid])
+    if with_hist:
+        # abundance histogram (pre any downstream filtering) in the same
+        # read: distinct counts clipped to 256 sort as a single cheap u32
+        # lane, then per-value cardinalities fall out of 258 binary
+        # searches — uvec[0] = pads/dups (junk), uvec[1..255] = unique per
+        # abundance, uvec[256] = oversize (> 255). No scatter (TPU
+        # scatters serialize) and no O(distinct) counts D2H: the fused
+        # pipeline derives the kmtricks .hist files from this
+        # (io.kmtricks.hist_from_device).
+        clipped = jnp.minimum(counts_row, jnp.uint32(256))
+        cs_sorted = jax.lax.sort((clipped,), num_keys=1)[0]
+        edges = jnp.arange(258, dtype=jnp.uint32)
+        pos = jnp.searchsorted(cs_sorted, edges, side="left").astype(
+            jnp.int32
+        )
+        uvec = pos[1:] - pos[:-1]
+        stats = jnp.concatenate([stats, uvec])
     key = jnp.where(is_start, idx, jnp.int32(N))
     # sunk rows (duplicates, filtered runs, pads) carry SENTINEL lanes so
     # the compacted blob stays globally sorted past n_distinct

@@ -127,7 +127,7 @@ def make_sharded_count_kernel(
 
     step(codes [D*cap_codes] u8 row-sharded; chunks carry k-1 overlap so
     no window is lost at chunk joins, INVALID-padded)
-    -> (stats [D, 2] i32 = per-device (n_distinct, max_count),
+    -> (stats [D, 3] i32 = per-device (n_distinct, max_count, n_valid),
         n_dropped [1] i32 psum'd,
         lane_blob [D*max_distinct, L] u32, counts [D*max_distinct] u32)
     — all row-sharded except n_dropped. Partition ids are recomputed on
@@ -182,7 +182,7 @@ def make_sharded_count_kernel(
         stats, lane_blob, counts = sort_rle_core(recv, max_distinct)
         n_dropped = jax.lax.psum(n_dropped, ROW_AXIS)
         return (
-            stats.reshape(1, 2),
+            stats.reshape(1, 3),
             n_dropped.reshape(1),
             lane_blob,
             counts,

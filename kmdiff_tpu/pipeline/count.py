@@ -182,17 +182,16 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             codes = np.concatenate(
                 [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
             )
+        # max_distinct = window count: the cap only sizes the output blob
+        # (compaction is a second sort, cost independent of it), while an
+        # undersized guess forces a full kernel re-run — genomic dup
+        # ratios (~1.3-2x) overflowed the old W>>2 guess nearly always
         W = pad_to - k + 1
-        max_distinct = max(1 << 14, W >> 2)
-        while True:
-            stats, lane_blob, counts = fused_count_kernel(
-                jnp.asarray(codes), k, max_distinct
-            )
-            stats_h = np.asarray(stats)  # one read: (n_distinct, max_count)
-            U = int(stats_h[0])
-            if U <= max_distinct:
-                break
-            max_distinct = 1 << max(U - 1, 1).bit_length()
+        stats, lane_blob, counts = fused_count_kernel(
+            jnp.asarray(codes), k, W
+        )
+        stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
+        U = int(stats_h[0])
         return _fetch_counted(
             U, lane_blob, counts, nb_partitions, int(stats_h[1])
         )
@@ -245,17 +244,11 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
             pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
             lanes = [jnp.concatenate([l, pad]) for l in lanes]
 
-        # distinct-count cap: start assuming >=4x duplication, retry exact
-        max_distinct = min(P, max(1 << 14, P >> 2))
-        while True:
-            stats, lane_blob, counts = count_sort_rle_lanes(
-                tuple(lanes), max_distinct
-            )
-            stats_h = np.asarray(stats)  # one read: (n_distinct, max_count)
-            U = int(stats_h[0])
-            if U <= max_distinct:
-                break
-            max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+        # distinct-count cap = P: sizes only the output blob (no sort
+        # cost), so no overflow retry can ever re-run the kernel
+        stats, lane_blob, counts = count_sort_rle_lanes(tuple(lanes), P)
+        stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
+        U = int(stats_h[0])
         streams.append(_fetch_stream(U, lane_blob, counts, int(stats_h[1])))
 
     if len(streams) == 1:

@@ -50,9 +50,34 @@ import numpy as np
 from kmdiff_tpu.utils.logging import logger
 
 #: per-stream per-chunk row budget for the fused merge: chunks carry
-#: S * CHUNK_ROWS rows into the kernel (pow2 keeps the compiled shape set
-#: to one)
-CHUNK_ROWS = int(os.environ.get("KMDIFF_FUSED_CHUNK_ROWS", 1 << 18))
+#: S * CHUNK_ROWS rows into the kernel. 0 (the default) sizes it
+#: adaptively from the cohort width so each chunk's sort approaches the
+#: ~8M-row compile ceiling (fused_chunk_rows); set the env (or patch the
+#: module attribute) to force a fixed value.
+CHUNK_ROWS = int(os.environ.get("KMDIFF_FUSED_CHUNK_ROWS", 0))
+
+#: the largest sort this rig's remote-compile service handles without
+#: stalling (see pipeline.count.SORT_ROWS); chunk shapes target 7/8 of it
+SORT_CEILING = 1 << 23
+
+
+def _q4_floor(n: int) -> int:
+    """Largest quarter-pow2 ({4,5,6,7} << b) <= max(n, 4)."""
+    n = max(int(n), 4)
+    b = n.bit_length() - 1
+    step = 1 << max(b - 2, 0)
+    return (n // step) * step
+
+
+def fused_chunk_rows(S: int) -> int:
+    """Per-stream chunk slice M for an S-sample cohort: as large as keeps
+    the assembled S*M chunk under the sort compile ceiling (bigger chunks
+    amortize the per-dispatch tunnel round trip AND raise the fill ratio
+    the 7/8 chunk targeting can reach), quarter-pow2 so the compiled
+    shape set stays bounded."""
+    if CHUNK_ROWS:
+        return CHUNK_ROWS
+    return max(1 << 14, min(1 << 22, _q4_floor(SORT_CEILING // max(S, 1))))
 
 #: resident-stream device-memory budget; cohorts whose streams exceed it
 #: fall back to the two-stage flow
@@ -69,17 +94,22 @@ class ResidentStream:
     """One sample's distinct counted k-mer stream, resident on device.
 
     blob: [P, L] u32 lane blob, rows sorted ascending by lane tuple with
-    an all-0xFFFFFFFF sentinel tail past U — P >= U + CHUNK_ROWS so the
-    assemble kernel's dynamic_slice can never clamp. counts: [P] u32,
-    zeros past U. Rows are post hard-min; counts_pre_hard_min backs the
-    abundance histogram (the reference histograms BEFORE hard-min,
-    pipeline.count.run_count)."""
+    an all-0xFFFFFFFF sentinel tail past U — P >= U + the merge's
+    per-stream chunk slice so the assemble kernel's dynamic_slice can
+    never clamp. counts: [P] u32, zeros past U. Rows are post hard-min;
+    hist_uvec/n_distinct_pre/total_mass back the abundance histogram,
+    which the reference derives BEFORE hard-min
+    (pipeline.count.run_count) — computed ON DEVICE
+    (ops.codec.sort_rle_core with_hist) so no O(distinct) counts array
+    ever crosses to host."""
 
     blob: object
     counts: object
     U: int
     max_count: int
-    counts_pre_hard_min: np.ndarray
+    hist_uvec: np.ndarray  # [257] i32, bins 1..255 + oversize at 256
+    n_distinct_pre: int    # distinct k-mers before hard-min
+    total_mass: int        # exact counted k-mer occurrences (pre hard-min)
 
 
 def _q4(n: int, lo: int = 1 << 12) -> int:
@@ -93,11 +123,13 @@ def _q4(n: int, lo: int = 1 << 12) -> int:
 
 def count_sample_resident(
     all_codes: list[np.ndarray], k: int, hard_min: int,
-    slack: int = CHUNK_ROWS,
+    slack: int | None = None,
 ) -> ResidentStream:
     """Count one sample's distinct canonical k-mers, keeping the result on
     device (single-device twin of pipeline.count.count_sample_device,
-    which fetches to host for the run-dir files)."""
+    which fetches to host for the run-dir files). The abundance histogram
+    rides the kernels' stats read (with_hist) — nothing O(distinct)
+    reaches the host here."""
     import jax.numpy as jnp
 
     from kmdiff_tpu.ops.codec import (
@@ -110,15 +142,20 @@ def count_sample_resident(
         BLOCK,
         SORT_ROWS,
         _device_kmer_blocks,
-        _fetch_counts_narrow,
     )
 
+    if slack is None:
+        slack = CHUNK_ROWS or (1 << 18)
     L = n_lanes(k)
     streams: list[tuple[int, object, object]] = []  # (U, blob, counts)
+    total_mass = 0  # exact counted windows (sum of per-chunk n_valid)
+    uvec = None
 
     total_codes = sum(len(c) for c in all_codes) + max(len(all_codes) - 1, 0)
     if 0 < total_codes <= BLOCK and total_codes >= k:
-        # whole sample in one fused dispatch (pipeline.count's fast path)
+        # whole sample in one fused dispatch (pipeline.count's fast path);
+        # max_distinct = W sizes only the output blob, so no overflow
+        # retry can re-run the kernel
         sep = np.full(1, 0xFF, dtype=np.uint8)
         parts = []
         for c in all_codes:
@@ -132,16 +169,13 @@ def count_sample_resident(
                 [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
             )
         W = pad_to - k + 1
-        max_distinct = max(1 << 14, W >> 2)
-        while True:
-            stats, lane_blob, counts = fused_count_kernel(
-                jnp.asarray(codes), k, max_distinct
-            )
-            stats_h = np.asarray(stats)
-            U = int(stats_h[0])
-            if U <= max_distinct:
-                break
-            max_distinct = 1 << max(U - 1, 1).bit_length()
+        stats, lane_blob, counts = fused_count_kernel(
+            jnp.asarray(codes), k, W, with_hist=True
+        )
+        stats_h = np.asarray(stats)
+        U = int(stats_h[0])
+        total_mass = int(stats_h[2])
+        uvec = stats_h[3:]
         streams.append((U, lane_blob, counts))
     else:
         blocks = []
@@ -168,6 +202,7 @@ def count_sample_resident(
             cur_rows += w
         if cur:
             chunks.append(cur)
+        one_chunk = len(chunks) == 1  # its hist IS the sample hist
         for chunk in chunks:
             lanes = (
                 [jnp.concatenate([b[i] for b in chunk]) for i in range(L)]
@@ -179,36 +214,34 @@ def count_sample_resident(
             if P > N:
                 pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
                 lanes = [jnp.concatenate([l, pad]) for l in lanes]
-            max_distinct = min(P, max(1 << 14, P >> 2))
-            while True:
-                stats, lane_blob, counts = count_sort_rle_lanes(
-                    tuple(lanes), max_distinct
-                )
-                stats_h = np.asarray(stats)
-                U = int(stats_h[0])
-                if U <= max_distinct:
-                    break
-                max_distinct = min(P, 1 << max(U - 1, 1).bit_length())
+            stats, lane_blob, counts = count_sort_rle_lanes(
+                tuple(lanes), P, with_hist=one_chunk
+            )
+            stats_h = np.asarray(stats)
+            U = int(stats_h[0])
+            total_mass += int(stats_h[2])
+            if one_chunk:
+                uvec = stats_h[3:]
             streams.append((U, lane_blob, counts))
 
     if not streams:
-        empty = np.zeros(0, np.uint32)
         blob = jnp.full((_q4(slack), L), 0xFFFFFFFF, jnp.uint32)
         return ResidentStream(
-            blob, jnp.zeros(_q4(slack), jnp.uint32), 0, 0, empty
+            blob, jnp.zeros(_q4(slack), jnp.uint32), 0, 0,
+            np.zeros(257, np.int32), 0, 0,
         )
 
     if len(streams) == 1:
         U, blob, counts = streams[0]
-        # stats_h survives from the retry loop of whichever kernel produced
-        # the single stream
+        # stats_h/uvec survive from whichever kernel produced the stream
     else:
         # device k-way dedup: chunk streams may share k-mers with PARTIAL
         # counts (a chunk boundary splits a sample's occurrences);
         # dedup_sum_lanes sums them exactly (host twin: native
         # merge_counted_streams). Blobs slice to quarter-pow2(U) first —
         # their pow2 caps can be ~50% sentinel pad, which would double the
-        # dedup sort's bytes (slices are shape-bucketed, compile-cheap)
+        # dedup sort's bytes (slices are shape-bucketed, compile-cheap);
+        # the dedup input itself pads at quarter-pow2 for the same reason
         cuts = [min(_q4(s[0]), s[1].shape[0]) for s in streams]
         cat_lanes = tuple(
             jnp.concatenate([s[1][:c, i] for s, c in zip(streams, cuts)])
@@ -218,23 +251,24 @@ def count_sample_resident(
             [s[2][:c] for s, c in zip(streams, cuts)]
         )
         N = cat_lanes[0].shape[0]
-        P = 1 << max(14, (N - 1).bit_length())
+        P = _q4(N, lo=1 << 14)
         if P > N:
             padl = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
             cat_lanes = tuple(jnp.concatenate([l, padl]) for l in cat_lanes)
             cat_w = jnp.concatenate([cat_w, jnp.zeros(P - N, jnp.uint32)])
-        stats, blob, counts = dedup_sum_lanes(cat_lanes, cat_w, P)
+        stats, blob, counts = dedup_sum_lanes(
+            cat_lanes, cat_w, P, with_hist=True
+        )
         stats_h = np.asarray(stats)
         U = int(stats_h[0])
+        uvec = stats_h[3:]
     mx = int(stats_h[1])
-
-    # pre-hard-min narrow counts: the abundance histogram and the
-    # histogram-derived totals are defined on the UNFILTERED stream
-    counts_pre = _fetch_counts_narrow(counts, U, mx)
+    n_pre = U
 
     if hard_min > 1 and U:
         # second pass over the (already distinct) stream: dedup is a no-op,
-        # the hard-min filter compacts sub-threshold runs away
+        # the hard-min filter compacts sub-threshold runs away (the
+        # histogram above is pre-filter, like the reference's)
         cols = tuple(blob[:, i] for i in range(L))
         stats2, blob, counts = dedup_sum_lanes(
             cols, counts, blob.shape[0], hard_min=hard_min
@@ -254,7 +288,10 @@ def count_sample_resident(
     elif blob.shape[0] > P_final:
         blob = blob[:P_final]
         counts = counts[:P_final]
-    return ResidentStream(blob, counts, U, int(mx), counts_pre)
+    return ResidentStream(
+        blob, counts, U, int(mx),
+        np.asarray(uvec, dtype=np.int32), n_pre, total_mass,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -308,20 +345,43 @@ def _assemble_chunk_impl(blobs, counts, starts, lens, M, nb_controls, mode):
     )
 
 
-_assemble_chunk = None
+def _fused_chunk_impl(
+    blobs, counts, starts, lens, ratio_c, ratio_k, lr_min, pca_thr,
+    pca_seed, M, nb_controls, mode, max_hits, max_geno, want_geno,
+    nb_samples, want_rows, wide,
+):
+    """Assemble + merge+LRT in ONE jitted program: the chunk gather feeds
+    the kernel without an intermediate dispatch (each extra dispatch costs
+    a full round trip on sync-dispatch rigs)."""
+    from kmdiff_tpu.ops.merge_dev import merge_lrt_local
+
+    lanes, sample, count = _assemble_chunk_impl(
+        blobs, counts, starts, lens, M, nb_controls, mode
+    )
+    return merge_lrt_local(
+        lanes, sample, count, nb_controls, ratio_c, ratio_k, lr_min,
+        pca_thr, pca_seed, max_hits, max_geno, want_geno,
+        nb_samples=nb_samples, want_rows=want_rows, wide_sums=wide,
+        packed_ctrl=(mode != "full"),
+    )
 
 
-def _get_assemble():
-    global _assemble_chunk
-    if _assemble_chunk is None:
-        import functools
+_fused_chunk = None
 
+
+def _get_fused_chunk():
+    global _fused_chunk
+    if _fused_chunk is None:
         import jax
 
-        _assemble_chunk = functools.partial(
-            jax.jit, static_argnames=("M", "nb_controls", "mode")
-        )(_assemble_chunk_impl)
-    return _assemble_chunk
+        _fused_chunk = jax.jit(
+            _fused_chunk_impl,
+            static_argnames=(
+                "M", "nb_controls", "mode", "max_hits", "max_geno",
+                "want_geno", "nb_samples", "want_rows", "wide",
+            ),
+        )
+    return _fused_chunk
 
 
 class _RoutingAccumulator:
@@ -360,31 +420,64 @@ class _RoutingAccumulator:
             a.finish()
 
 
-def _pick_split_lane(streams, L: int) -> int:
-    """First lane with >1 value over the valid rows (k <= 16 leaves the
-    high lane constant-zero); verified EXACTLY on device, not just on the
-    subsample."""
-    import jax
+def _lane_minmax_all_impl(blobs):
     import jax.numpy as jnp
 
-    @jax.jit
-    def lane_minmax(blob):
+    rows = []
+    for blob in blobs:
         cols = tuple(blob[:, i] for i in range(blob.shape[1]))
         valid = cols[0] != jnp.uint32(0xFFFFFFFF)
         for c in cols[1:]:
             valid = valid | (c != jnp.uint32(0xFFFFFFFF))
-        out = []
+        row = []
         for c in cols:
-            out.append(jnp.min(jnp.where(valid, c, jnp.uint32(0xFFFFFFFF))))
-            out.append(jnp.max(jnp.where(valid, c, jnp.uint32(0))))
-        return jnp.stack(out)
+            row.append(jnp.min(jnp.where(valid, c, jnp.uint32(0xFFFFFFFF))))
+            row.append(jnp.max(jnp.where(valid, c, jnp.uint32(0))))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
 
-    mm = [np.asarray(lane_minmax(s.blob)) for s in streams if s.U]
-    if not mm:
-        return 0
+
+def _bounds_pos_impl(blobs, bd, split):
+    """searchsorted positions of every bound in every stream's split-lane
+    column — ALL streams in one dispatch/read (per-stream calls each pay
+    a sync round trip). Returns [B, S] i32; sentinel tails sort past every
+    real bound and the host clamps to U anyway."""
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [
+            jnp.searchsorted(b[:, split], bd, side="left").astype(jnp.int32)
+            for b in blobs
+        ],
+        axis=1,
+    )
+
+
+_lane_minmax_all = None
+_bounds_pos = None
+
+
+def _get_batched_helpers():
+    global _lane_minmax_all, _bounds_pos
+    if _lane_minmax_all is None:
+        import jax
+
+        _lane_minmax_all = jax.jit(_lane_minmax_all_impl)
+        _bounds_pos = jax.jit(
+            _bounds_pos_impl, static_argnames=("split",)
+        )
+    return _lane_minmax_all, _bounds_pos
+
+
+def _pick_split_lane(streams, L: int) -> int:
+    """First lane with >1 value over the valid rows (k <= 16 leaves the
+    high lane constant-zero); verified EXACTLY on device, not just on a
+    subsample — and for EVERY stream in one dispatch + one host read."""
+    minmax_all, _ = _get_batched_helpers()
+    mm = np.asarray(minmax_all(tuple(s.blob for s in streams)))
     for lane in range(L):
-        lo = min(int(m[2 * lane]) for m in mm)
-        hi = max(int(m[2 * lane + 1]) for m in mm)
+        lo = int(mm[:, 2 * lane].min())
+        hi = int(mm[:, 2 * lane + 1].max())
         if hi > lo:
             return lane
     return L  # a single distinct k-mer cohort: no split lane needed
@@ -403,15 +496,23 @@ def fused_merge(
     """Run the merge+LRT over resident streams in global key-range chunks.
 
     Returns (total_kmers, nb_sign, sign_controls, sign_cases)."""
+    S = len(streams)
     if M is None:
-        import kmdiff_tpu.pipeline.fused as _self
-
-        M = _self.CHUNK_ROWS  # call-time read: tests shrink it
+        M = fused_chunk_rows(S)  # call-time: tests patch CHUNK_ROWS
     import jax.numpy as jnp
 
+    from kmdiff_tpu.ops.merge_dev import pca_threshold_u32
     from kmdiff_tpu.pipeline.merge import _ChunkSamplerShim
 
-    S = len(streams)
+    # clamp-free dynamic_slice needs blob capacity >= U + M per stream;
+    # streams counted with a smaller slack cap M down to what they allow
+    cap = min(s.blob.shape[0] - s.U for s in streams)
+    if cap < M:
+        M = _q4_floor(cap)
+        if M < 1 << 9:
+            raise FusedFallback(
+                f"resident streams leave only {cap} rows of chunk slack"
+            )
     L = streams[0].blob.shape[1]
     want_geno = sampler is not None
     want_rows = processor.keep_counts or save_matrix_dir is not None
@@ -424,16 +525,23 @@ def fused_merge(
 
     split = _pick_split_lane(streams, L)
     total_rows = sum(s.U for s in streams)
+    max_U = max(s.U for s in streams)
+    Us = np.array([s.U for s in streams], np.int64)
+    blobs = tuple(s.blob for s in streams)
+    counts_t = tuple(s.counts for s in streams)
     if split >= L:
-        n_chunks = 1
         starts = np.zeros((1, S), np.int32)
         lens = np.array([[s.U for s in streams]], np.int32)
-        if max(s.U for s in streams) > M:
+        if max_U > M:
             raise FusedFallback("degenerate key space exceeds chunk budget")
-        bounds_n = 0
     else:
         # pooled subsampled keys -> quantile bounds on the split lane;
-        # exact per-stream positions via one device searchsorted each
+        # exact per-stream positions via ONE batched device searchsorted.
+        # Chunks target 7/8-full S*M buffers (the kernel sorts the whole
+        # buffer including sentinel fill, so fill ratio IS sort
+        # efficiency); the per-stream-extent seed term covers skewed
+        # cohorts in the first attempt
+        _, bounds_pos = _get_batched_helpers()
         subs = []
         for s in streams:
             col = np.asarray(s.blob[::1024, split])
@@ -441,8 +549,13 @@ def fused_merge(
         pool = np.concatenate(subs) if subs else np.zeros(0, np.uint32)
         if pool.size == 0:
             pool = np.zeros(1, np.uint32)
-        n_chunks = max(1, -(-total_rows // max(S * (M // 2), 1)))
-        for _attempt in range(5):
+        target = max(1, (S * M * 7) // 8)
+        n_chunks = max(
+            1,
+            -(-total_rows // target),
+            -(-(max_U * 8) // max(7 * M, 1)),
+        )
+        for _attempt in range(6):
             if n_chunks == 1:
                 starts = np.zeros((1, S), np.int32)
                 lens = np.array([[s.U for s in streams]], np.int32)
@@ -452,25 +565,22 @@ def fused_merge(
                 continue
             qs = np.quantile(pool, np.linspace(0, 1, n_chunks + 1)[1:-1])
             bounds = np.unique(qs.astype(np.uint64).astype(np.uint32))
-            bd = jnp.asarray(bounds)
-            pos = np.stack([
-                np.minimum(
-                    np.asarray(jnp.searchsorted(
-                        s.blob[:, split], bd, side="left"
-                    )),
-                    s.U,
-                )
-                for s in streams
-            ], axis=1)  # [n_bounds, S]
-            ends = np.concatenate(
-                [pos, np.array([[s.U for s in streams]], np.int64)], axis=0
-            )
+            # pad the query to a pow2 bucket (bounded compiled-shape set);
+            # sentinel queries land past every real key and are sliced off
+            B = len(bounds)
+            Bp = 1 << max(4, (max(B, 1) - 1).bit_length())
+            bd = np.full(Bp, 0xFFFFFFFF, np.uint32)
+            bd[:B] = bounds
+            pos_all = np.asarray(
+                bounds_pos(blobs, jnp.asarray(bd), split=split)
+            )[:B]
+            pos = np.minimum(pos_all.astype(np.int64), Us[None, :])
+            ends = np.concatenate([pos, Us[None, :]], axis=0)
             starts = np.concatenate(
                 [np.zeros((1, S), np.int64), pos], axis=0
             ).astype(np.int32)
             lens = (ends - starts).astype(np.int32)
             if int(lens.max()) <= M:
-                n_chunks = len(bounds) + 1
                 break
             n_chunks *= 2
         else:
@@ -479,29 +589,40 @@ def fused_merge(
                 f"chunk budget {M})"
             )
 
-    assemble = _get_assemble()
-    blobs = tuple(s.blob for s in streams)
-    counts_t = tuple(s.counts for s in streams)
-
     shim = None
     geno_parts: list[np.ndarray] = []
     if want_geno:
         shim = _ChunkSamplerShim(sampler, geno_parts)
     matrix_sink: list | None = [] if save_matrix_dir is not None else None
 
+    fused_kernel = _get_fused_chunk()
+    eff_sampler = shim if shim is not None else sampler
+    geno_rate = getattr(eff_sampler, "rate", 0.0) if want_geno else 0.0
+    pca_thr = jnp.uint32(pca_threshold_u32(geno_rate))
+    pca_seed = jnp.uint32(getattr(eff_sampler, "seed", 0) if want_geno else 0)
+    ratio_c = jnp.float32(processor.params.ratio_c)
+    ratio_k = jnp.float32(processor.params.ratio_k)
+    lr_min = jnp.float32(processor.params.lr_min)
+
     total = nsign = n_ctrl = n_case = 0
     t0 = time.perf_counter()
     racc = _RoutingAccumulator(accumulators, nb_partitions)
     for c in range(starts.shape[0]):
-        lanes_t, sample_d, count_d = assemble(
-            blobs, counts_t,
-            jnp.asarray(starts[c]), jnp.asarray(lens[c]),
-            M=M, nb_controls=processor.nb_controls, mode=mode,
-        )
+        st_d = jnp.asarray(starts[c])
+        ln_d = jnp.asarray(lens[c])
+
+        def dispatch(max_hits, max_geno, st_d=st_d, ln_d=ln_d):
+            return fused_kernel(
+                blobs, counts_t, st_d, ln_d,
+                ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+                M=M, nb_controls=processor.nb_controls, mode=mode,
+                max_hits=max_hits, max_geno=max_geno, want_geno=want_geno,
+                nb_samples=S, want_rows=want_rows, wide=wide,
+            )
+
         pre = {
-            "lanes_dev": lanes_t,
-            "sample_dev": sample_d,
-            "count_dev": count_d,
+            "dispatch_fn": dispatch,
+            "n_lanes": L,
             "pad_to": S * M,
             "packed": packed,
             "range_rows": 0,

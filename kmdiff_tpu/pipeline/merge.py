@@ -757,12 +757,19 @@ class PartitionProcessor:
                 kmers_list, counts_list, want_geno, want_rows, wide
             )
             self.phases.add("build", prebuilt["build_s"])
-        lanes_dev = prebuilt["lanes_dev"]
-        sample_dev = prebuilt["sample_dev"]
-        count_dev = prebuilt["count_dev"]
+        # a prebuilt dispatch_fn (the fused pipeline's assemble+merge
+        # single-dispatch kernel) replaces the operand-based dispatch; the
+        # retry loop only re-parameterizes the compaction budgets
+        dispatch_fn = prebuilt.get("dispatch_fn")
+        if dispatch_fn is None:
+            lanes_dev = prebuilt["lanes_dev"]
+            sample_dev = prebuilt["sample_dev"]
+            count_dev = prebuilt["count_dev"]
+            n_lanes = len(lanes_dev)
+        else:
+            n_lanes = prebuilt["n_lanes"]
         pad_to = prebuilt["pad_to"]
         packed = prebuilt["packed"]
-        n_lanes = len(lanes_dev)
         geno_rate = getattr(sampler, "rate", 0.0)
         max_hits, max_geno = self._budgets(pad_to, want_geno, geno_rate)
 
@@ -771,25 +778,28 @@ class PartitionProcessor:
         t0 = time.perf_counter()
         S = len(kmers_list)
         while True:
-            out = merge_lrt_kernel(
-                lanes_dev,
-                sample_dev,
-                count_dev,
-                self.nb_controls,
-                jnp.float32(self.params.ratio_c),
-                jnp.float32(self.params.ratio_k),
-                jnp.float32(self.params.lr_min),
-                jnp.uint32(pca_threshold_u32(geno_rate)),
-                jnp.uint32(getattr(sampler, "seed", 0)),
-                max_hits,
-                max_geno,
-                want_geno,
-                nb_samples=S,
-                want_rows=want_rows,
-                wide_sums=wide,
-                packed_ctrl=packed,
-                range_rows=prebuilt.get("range_rows", 0),
-            )
+            if dispatch_fn is not None:
+                out = dispatch_fn(max_hits, max_geno)
+            else:
+                out = merge_lrt_kernel(
+                    lanes_dev,
+                    sample_dev,
+                    count_dev,
+                    self.nb_controls,
+                    jnp.float32(self.params.ratio_c),
+                    jnp.float32(self.params.ratio_k),
+                    jnp.float32(self.params.lr_min),
+                    jnp.uint32(pca_threshold_u32(geno_rate)),
+                    jnp.uint32(getattr(sampler, "seed", 0)),
+                    max_hits,
+                    max_geno,
+                    want_geno,
+                    nb_samples=S,
+                    want_rows=want_rows,
+                    wide_sums=wide,
+                    packed_ctrl=packed,
+                    range_rows=prebuilt.get("range_rows", 0),
+                )
             # ONE host read answers sync + overflow (3 scalar reads = 3
             # round trips on this rig's sync-dispatch mode)
             meta = np.asarray(out["meta"])
