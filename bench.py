@@ -403,9 +403,11 @@ def measure_pipeline(baseline: float) -> dict:
         from kmdiff_tpu.cmd.run import main_run
 
         fused_times = {}
+        fused_phases = {}
         fres = None
         for attempt in ("cold", "warm"):
             rd = os.path.join(work, f"fused_{attempt}")
+            tm = {}
             t0 = time.perf_counter()
             fres = main_run(
                 CountOptions(
@@ -421,10 +423,13 @@ def measure_pipeline(baseline: float) -> dict:
                     n_devices=1,
                 ),
                 count_files=True,
+                timings=tm,
             )
             fused_times[attempt] = time.perf_counter() - t0
+            fused_phases[attempt] = tm
             log(f"[bench] fused run ({attempt}): {fused_times[attempt]:.1f}s "
-                f"total (FASTA->FASTA), tested {fres['total_kmers']:.3e}")
+                f"total (FASTA->FASTA; count {tm.get('count', 0):.1f}s merge "
+                f"{tm.get('merge', 0):.1f}s), tested {fres['total_kmers']:.3e}")
             shutil.rmtree(rd, ignore_errors=True)
         assert fres["total_kmers"] == res["total_kmers"], (
             "fused and two-stage pipelines disagree on tested k-mers"
@@ -466,6 +471,46 @@ def measure_pipeline(baseline: float) -> dict:
         }
         if count_baseline:
             out["counting_vs_baseline"] = round(count_rate / count_baseline, 3)
+        fc = fused_phases.get("warm", {}).get("count", 0.0)
+        fm = fused_phases.get("warm", {}).get("merge", 0.0)
+        if fc:
+            # apples-to-apples with the C++ counting baseline: BOTH count
+            # FASTA to in-memory distinct streams + histogram (the
+            # baseline writes no count files; the fused run spills them on
+            # background threads off this phase's clock)
+            fused_count_rate = total_bases / fc
+            out["fused_counting_bases_per_sec"] = round(fused_count_rate, 1)
+            if count_baseline:
+                out["fused_counting_vs_baseline"] = round(
+                    fused_count_rate / count_baseline, 3
+                )
+            log(f"[bench] fused counting phase: {fused_count_rate:.3e} "
+                f"bases/s warm"
+                + (f" (vs C++ single-core counting "
+                   f"{fused_count_rate/count_baseline:.2f}x)"
+                   if count_baseline else ""))
+        if fm:
+            fused_merge_rate = fres["total_kmers"] / fm
+            out["fused_merge_kmers_per_sec"] = round(fused_merge_rate, 1)
+            out["fused_merge_vs_baseline"] = round(
+                fused_merge_rate / baseline, 3
+            )
+            log(f"[bench] fused merge phase: {fused_merge_rate:.3e} kmers "
+                f"tested/s warm (vs C++ merge-only baseline "
+                f"{fused_merge_rate/baseline:.2f}x)")
+        if count_baseline:
+            # end-to-end FASTA->significant-kmers comparison: the fused run
+            # vs the sum of the single-core C++ floors for the same work
+            # (count the bases + merge the distinct streams, both fully
+            # in-memory, no intermediate files on either side)
+            cpp_e2e = (
+                total_bases / count_baseline
+                + fres["total_kmers"] / baseline
+            )
+            out["fused_vs_cpp_e2e"] = round(cpp_e2e / fused_times["warm"], 3)
+            log(f"[bench] fused FASTA->FASTA vs single-core C++ e2e floor "
+                f"({cpp_e2e:.1f}s count+merge): "
+                f"{cpp_e2e/fused_times['warm']:.2f}x")
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -123,6 +123,65 @@ def _device_kmer_blocks(codes: np.ndarray, k: int):
     return out
 
 
+def _host_code_blocks(all_codes: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Join per-file code arrays with one INVALID separator (no k-window
+    spans two files) and slice into <= BLOCK host blocks with k-1 codes of
+    overlap, so every window lands in exactly one block; short tails pad
+    to a pow2 bucket (floor 2^14) to bound the compiled-shape set."""
+    from kmdiff_tpu.ops.codec import INVALID
+
+    sep = np.full(1, INVALID, dtype=np.uint8)
+    parts = []
+    for c in all_codes:
+        if parts:
+            parts.append(sep)
+        parts.append(c)
+    codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    if len(codes) < k:
+        return []
+    blocks = []
+    stride = BLOCK - (k - 1)
+    for s in range(0, len(codes) - k + 1, stride):
+        chunk = codes[s : s + BLOCK]
+        if len(chunk) < BLOCK:
+            pad_to = min(BLOCK, 1 << max(14, (len(chunk) - 1).bit_length()))
+            chunk = np.concatenate(
+                [chunk, np.full(pad_to - len(chunk), INVALID, np.uint8)]
+            )
+        blocks.append(chunk)
+    return blocks
+
+
+def _chunk_code_blocks(
+    blocks: list[np.ndarray], k: int, sort_rows: int
+) -> list[list[np.ndarray]]:
+    """Group code blocks into sort chunks of <= sort_rows windows (two
+    full extraction blocks sit just under 2^23 — near-zero pow2 pad, no
+    >8M compile stalls; see SORT_ROWS). A single block past the cap —
+    BLOCK tuned above SORT_ROWS — splits at window boundaries with k-1
+    codes of overlap."""
+    chunks: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    rows = 0
+    for b in blocks:
+        w = len(b) - k + 1
+        while w > sort_rows:
+            if cur:
+                chunks.append(cur)
+                cur, rows = [], 0
+            chunks.append([b[: sort_rows + k - 1]])
+            b = b[sort_rows:]
+            w = len(b) - k + 1
+        if cur and rows + w > sort_rows:
+            chunks.append(cur)
+            cur, rows = [], 0
+        cur.append(b)
+        rows += w
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def count_codes_device(codes: np.ndarray, k: int, nb_partitions: int):
     """Canonical k-mers + partition ids, compacted to host (any k <= 128).
 
@@ -158,95 +217,32 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     """
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import (
-        count_sort_rle_lanes,
-        fused_count_kernel,
-        lanes_to_words,
-        n_lanes,
-    )
+    from kmdiff_tpu.ops.codec import fused_count_multi
 
-    # samples fitting one code block run extraction+sort+RLE as a SINGLE
-    # dispatch (fused_count_kernel); larger samples extract block-wise and
-    # count the concatenated lane stream
-    total_codes = sum(len(c) for c in all_codes) + max(len(all_codes) - 1, 0)
-    if 0 < total_codes <= BLOCK and total_codes >= k:
-        sep = np.full(1, 0xFF, dtype=np.uint8)
-        parts = []
-        for c in all_codes:
-            if parts:
-                parts.append(sep)
-            parts.append(c)
-        codes = np.concatenate(parts)
-        pad_to = min(BLOCK, 1 << max(14, (len(codes) - 1).bit_length()))
-        if pad_to > len(codes):
-            codes = np.concatenate(
-                [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
-            )
-        # max_distinct = window count: the cap only sizes the output blob
-        # (compaction is a second sort, cost independent of it), while an
-        # undersized guess forces a full kernel re-run — genomic dup
-        # ratios (~1.3-2x) overflowed the old W>>2 guess nearly always
-        W = pad_to - k + 1
-        stats, lane_blob, counts = fused_count_kernel(
-            jnp.asarray(codes), k, W
-        )
-        stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
-        U = int(stats_h[0])
-        return _fetch_counted(
-            U, lane_blob, counts, nb_partitions, int(stats_h[1])
-        )
-
-    blocks = []
-    for codes in all_codes:
-        blocks.extend(_device_kmer_blocks(codes, k))
+    # ONE dispatch per sort chunk: extraction ladders for every code block
+    # in the chunk, lane concat, sort, and RLE fused into a single program
+    # (ops.codec.fused_count_multi) — multi-block samples used to pay one
+    # dispatch per extraction block plus the sort dispatch, each a full
+    # round trip on sync-dispatch rigs. max_distinct = the chunk's window
+    # count: the cap only sizes the output blob (compaction is a second
+    # sort, cost independent of it), while an undersized guess forces a
+    # full kernel re-run — genomic dup ratios (~1.3-2x) overflowed the old
+    # quarter guess nearly always.
+    blocks = _host_code_blocks(all_codes, k)
     if not blocks:
         return (
             np.zeros((0, n_words(k)), np.uint64),
             np.zeros(0, np.uint32),
             np.zeros(0, np.uint32),
         )
-    L = n_lanes(k)
-
-    # group extraction blocks into sort chunks of <= SORT_ROWS rows: two
-    # full blocks land just under 2^23, so the pow2 pad is near-zero
-    # (a whole-sample concat pads up to 2x) and every compiled sort shape
-    # stays inside the warmed <=8M buckets (big-shape sort compiles stall
-    # this rig's remote-compile service). Per-chunk distinct streams are
-    # k-mer-sorted; the host k-way merge sums duplicate k-mers across
-    # chunk boundaries (native merge_counted_streams).
-    chunks, cur, cur_rows = [], [], 0
-    for b in blocks:
-        w = b[0].shape[0]
-        while w > SORT_ROWS:
-            # a single extraction block can exceed the sort cap when
-            # KMDIFF_COUNT_BLOCK is tuned above KMDIFF_COUNT_SORT_ROWS:
-            # split it device-side (slices are cheap to compile)
-            if cur:
-                chunks.append(cur)
-                cur, cur_rows = [], 0
-            chunks.append([tuple(l[:SORT_ROWS] for l in b)])
-            b = tuple(l[SORT_ROWS:] for l in b)
-            w = b[0].shape[0]
-        if cur and cur_rows + w > SORT_ROWS:
-            chunks.append(cur)
-            cur, cur_rows = [], 0
-        cur.append(b)
-        cur_rows += w
-    chunks.append(cur)
+    chunks = _chunk_code_blocks(blocks, k, SORT_ROWS)
 
     streams = []
     for chunk in chunks:
-        lanes = [jnp.concatenate([b[i] for b in chunk]) for i in range(L)] \
-            if len(chunk) > 1 else list(chunk[0])
-        N = lanes[0].shape[0]
-        P = 1 << max(12, (N - 1).bit_length())
-        if P > N:
-            pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
-            lanes = [jnp.concatenate([l, pad]) for l in lanes]
-
-        # distinct-count cap = P: sizes only the output blob (no sort
-        # cost), so no overflow retry can ever re-run the kernel
-        stats, lane_blob, counts = count_sort_rle_lanes(tuple(lanes), P)
+        W = sum(len(b) - k + 1 for b in chunk)
+        stats, lane_blob, counts = fused_count_multi(
+            tuple(jnp.asarray(b) for b in chunk), k, W
+        )
         stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
         U = int(stats_h[0])
         streams.append(_fetch_stream(U, lane_blob, counts, int(stats_h[1])))

@@ -133,15 +133,14 @@ def count_sample_resident(
     import jax.numpy as jnp
 
     from kmdiff_tpu.ops.codec import (
-        count_sort_rle_lanes,
         dedup_sum_lanes,
-        fused_count_kernel,
+        fused_count_multi,
         n_lanes,
     )
     from kmdiff_tpu.pipeline.count import (
-        BLOCK,
         SORT_ROWS,
-        _device_kmer_blocks,
+        _chunk_code_blocks,
+        _host_code_blocks,
     )
 
     if slack is None:
@@ -151,78 +150,23 @@ def count_sample_resident(
     total_mass = 0  # exact counted windows (sum of per-chunk n_valid)
     uvec = None
 
-    total_codes = sum(len(c) for c in all_codes) + max(len(all_codes) - 1, 0)
-    if 0 < total_codes <= BLOCK and total_codes >= k:
-        # whole sample in one fused dispatch (pipeline.count's fast path);
-        # max_distinct = W sizes only the output blob, so no overflow
-        # retry can re-run the kernel
-        sep = np.full(1, 0xFF, dtype=np.uint8)
-        parts = []
-        for c in all_codes:
-            if parts:
-                parts.append(sep)
-            parts.append(c)
-        codes = np.concatenate(parts)
-        pad_to = min(BLOCK, 1 << max(14, (len(codes) - 1).bit_length()))
-        if pad_to > len(codes):
-            codes = np.concatenate(
-                [codes, np.full(pad_to - len(codes), 0xFF, np.uint8)]
-            )
-        W = pad_to - k + 1
-        stats, lane_blob, counts = fused_count_kernel(
-            jnp.asarray(codes), k, W, with_hist=True
+    # ONE dispatch per sort chunk (extraction + sort + RLE fused,
+    # ops.codec.fused_count_multi), same blocking as the host path
+    blocks = _host_code_blocks(all_codes, k)
+    chunks = _chunk_code_blocks(blocks, k, SORT_ROWS) if blocks else []
+    one_chunk = len(chunks) == 1  # then its hist IS the sample hist
+    for chunk in chunks:
+        W = sum(len(b) - k + 1 for b in chunk)
+        stats, lane_blob, counts = fused_count_multi(
+            tuple(jnp.asarray(b) for b in chunk), k, W,
+            with_hist=one_chunk,
         )
         stats_h = np.asarray(stats)
         U = int(stats_h[0])
-        total_mass = int(stats_h[2])
-        uvec = stats_h[3:]
+        total_mass += int(stats_h[2])
+        if one_chunk:
+            uvec = stats_h[3:]
         streams.append((U, lane_blob, counts))
-    else:
-        blocks = []
-        for codes in all_codes:
-            blocks.extend(_device_kmer_blocks(codes, k))
-        if not blocks:
-            streams = []
-        # group extraction blocks into <= SORT_ROWS sort chunks (same
-        # grouping as the host path; see pipeline.count for the rationale)
-        chunks, cur, cur_rows = [], [], 0
-        for b in blocks:
-            w = b[0].shape[0]
-            while w > SORT_ROWS:
-                if cur:
-                    chunks.append(cur)
-                    cur, cur_rows = [], 0
-                chunks.append([tuple(l[:SORT_ROWS] for l in b)])
-                b = tuple(l[SORT_ROWS:] for l in b)
-                w = b[0].shape[0]
-            if cur and cur_rows + w > SORT_ROWS:
-                chunks.append(cur)
-                cur, cur_rows = [], 0
-            cur.append(b)
-            cur_rows += w
-        if cur:
-            chunks.append(cur)
-        one_chunk = len(chunks) == 1  # its hist IS the sample hist
-        for chunk in chunks:
-            lanes = (
-                [jnp.concatenate([b[i] for b in chunk]) for i in range(L)]
-                if len(chunk) > 1
-                else list(chunk[0])
-            )
-            N = lanes[0].shape[0]
-            P = 1 << max(12, (N - 1).bit_length())
-            if P > N:
-                pad = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
-                lanes = [jnp.concatenate([l, pad]) for l in lanes]
-            stats, lane_blob, counts = count_sort_rle_lanes(
-                tuple(lanes), P, with_hist=one_chunk
-            )
-            stats_h = np.asarray(stats)
-            U = int(stats_h[0])
-            total_mass += int(stats_h[2])
-            if one_chunk:
-                uvec = stats_h[3:]
-            streams.append((U, lane_blob, counts))
 
     if not streams:
         blob = jnp.full((_q4(slack), L), 0xFFFFFFFF, jnp.uint32)

@@ -222,6 +222,13 @@ def test_fused_p32_packed_counts(tmp_path, monkeypatch):
         assert (tmp_path / "out_f" / name).read_bytes() == (
             tmp_path / "out_s" / name
         ).read_bytes()
+    # counts of 40000 land in the histogram's OVERSIZE bucket: the fused
+    # device histogram (uvec + exact window totals) must reproduce the
+    # host hist_from_counts bytes including oversize_unique/oversize_total
+    for i in range(2):
+        hf = (tmp_path / "kc_f" / "histograms" / f"s{i}.hist").read_bytes()
+        hs = (tmp_path / "kc_s" / "histograms" / f"s{i}.hist").read_bytes()
+        assert hf == hs, f"s{i}.hist differs (oversize-bucket parity)"
 
 
 def test_fused_large_k_multiword(cohort, tmp_path, monkeypatch):
