@@ -397,15 +397,20 @@ def measure_pipeline(baseline: float) -> dict:
         # fused single-shot pipeline (`kmdiff-tpu run`): count streams stay
         # resident on device and the merge consumes them in place — the
         # count-file D2H and merge-triple H2D leave the critical path
-        # (pipeline.fused). Two passes: cold compiles the assemble+merge
-        # shapes, warm measures. count_files=True keeps the honest default
-        # (the run dir spill overlaps the merge on background threads).
+        # (pipeline.fused). Three passes: cold compiles the assemble+merge
+        # shapes, warm measures with --no-count-files (apples-to-apples
+        # with the C++ e2e floor below, which also materializes no
+        # intermediate files), warm+files measures the honest default
+        # where the kmtricks run-dir spill shares the D2H tunnel with the
+        # merge (background threads; joined before the run returns).
         from kmdiff_tpu.cmd.run import main_run
 
         fused_times = {}
         fused_phases = {}
         fres = None
-        for attempt in ("cold", "warm"):
+        for attempt, with_files in (
+            ("cold", False), ("warm", False), ("warm+files", True)
+        ):
             rd = os.path.join(work, f"fused_{attempt}")
             tm = {}
             t0 = time.perf_counter()
@@ -422,7 +427,7 @@ def measure_pipeline(baseline: float) -> dict:
                     correction=CorrectionType.BONFERRONI, nb_threads=4,
                     n_devices=1,
                 ),
-                count_files=True,
+                count_files=with_files,
                 timings=tm,
             )
             fused_times[attempt] = time.perf_counter() - t0
@@ -468,6 +473,7 @@ def measure_pipeline(baseline: float) -> dict:
             "fused_kmers_per_sec": round(fused_rate, 1),
             "fused_vs_baseline": round(fused_rate / baseline, 3),
             "fused_vs_two_stage": round(two_stage_warm / fused_times["warm"], 2),
+            "fused_with_files_seconds": round(fused_times["warm+files"], 1),
         }
         if count_baseline:
             out["counting_vs_baseline"] = round(count_rate / count_baseline, 3)

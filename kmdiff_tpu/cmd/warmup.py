@@ -36,16 +36,16 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
     logger.info("Warming kernels on %s:%d for S=%d, k=%d...",
                 dev.platform, dev.id, S, kmer_size)
 
-    # counting kernels (generic lanes: any k <= 128): the single-block
-    # fused dispatch at the full BLOCK pad, then a >2-block sample that
-    # exercises the chunked path's 2^23 sort bucket + tail bucket
-    # (pipeline.count.SORT_ROWS grouping)
-    from kmdiff_tpu.pipeline.count import BLOCK, count_sample_device
+    # counting kernels (generic lanes: any k <= 128): one fused
+    # extract+sort+RLE dispatch per quarter-pow2 code bucket
+    # (pipeline.count._host_code_chunks) — warm the 4Mi bucket and the
+    # 10Mi bucket a typical ~8-10 Mbp sample pads to (the remote-compile
+    # service takes ~35-50 s per sort shape, one-time)
+    from kmdiff_tpu.pipeline.count import count_sample_device
 
-    codes = rng.integers(0, 4, BLOCK, dtype=np.uint8)
-    count_sample_device([codes], kmer_size, 4)
-    codes = rng.integers(0, 4, 2 * BLOCK + (1 << 16), dtype=np.uint8)
-    count_sample_device([codes], kmer_size, 4)
+    for n in (1 << 22, (5 << 21) - 64):
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        count_sample_device([codes], kmer_size, 4)
     logger.info("  counting kernels compiled (%s)", timer.formatted())
 
     # merge + LRT kernels at the pad buckets

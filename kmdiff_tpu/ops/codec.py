@@ -260,32 +260,6 @@ def fused_count_kernel(codes, k: int, max_distinct: int,
     return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "max_distinct", "with_hist")
-)
-def fused_count_multi(codes_blocks, k: int, max_distinct: int,
-                      with_hist: bool = False):
-    """fused_count_kernel over SEVERAL code blocks in one dispatch:
-    extraction ladders for every block, lane concatenation, sort, and
-    run-length encoding all inside one program. Multi-block samples (code
-    streams past one extraction block) used to pay one dispatch per block
-    plus per-lane device concats plus the sort dispatch — each a full
-    round trip on sync-dispatch rigs; here they pay one. Blocks carry k-1
-    codes of overlap at their cut points (pipeline.count._host_code_blocks)
-    so every window lands in exactly one block."""
-    parts = [
-        extract_canonical_lanes(c, k, mask_invalid=True)[0]
-        for c in codes_blocks
-    ]
-    L = len(parts[0])
-    cat = tuple(
-        jnp.concatenate([bl[i] for bl in parts]) if len(parts) > 1
-        else parts[0][i]
-        for i in range(L)
-    )
-    return sort_rle_core(cat, max_distinct, with_hist=with_hist)
-
-
 def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1,
                   with_hist: bool = False):
     """Sort by lanes, run-length encode, compact — the shared body of the

@@ -4,8 +4,8 @@ Replaces the `kmtricks pipeline` subprocess (reference: src/cmd.cpp:27-48,
 SURVEY.md §2.2 row 1) in-process. Per sample:
 
   FASTA/FASTQ(.gz) -> 2-bit codes (reads joined by one INVALID separator)
-  -> fixed-size blocks with k-1 overlap -> device canonical-k-mer kernel
-  (kmdiff_tpu.ops.codec) -> device sort by k-mer + run-length encode ->
+  -> quarter-pow2 sort chunks with k-1 overlap (ONE upload + ONE fused
+  extract/sort/RLE dispatch each, kmdiff_tpu.ops.codec) ->
   O(distinct) D2H -> host partition-id recompute + stable regroup ->
   per-sample abundance histogram (pre hard-min, so histogram-derived
   totals reproduce the reference's src/kmtricks_utils.cpp:100-109
@@ -43,23 +43,23 @@ from kmdiff_tpu.io.kmtricks import (
 from kmdiff_tpu.utils.exceptions import InputError
 from kmdiff_tpu.utils.logging import logger
 
-#: device block length (codes); windows per block = BLOCK - k + 1.
-#: Samples whose whole code stream fits one block ride the single fused
-#: extraction+sort+RLE dispatch. Tunable via KMDIFF_COUNT_BLOCK: raising
-#: it saves a handful of dispatch round trips per sample but was measured
-#: warm-neutral on the tunnel rig (103 s vs 107 s for a 20x8.4 Mbp
-#: cohort at 1<<24) while the one-time compile of the bigger fused-sort
-#: shape stalled the remote-compile service ~18 min — the per-sample D2H
-#: of distinct k-mers, not dispatch count, is the counting floor there.
+#: extraction block length (codes) for the NON-fused helper kernels
+#: (_device_kmer_blocks / count_codes_device, kept for tests and
+#: cross-checks); the counting pipeline itself chunks whole code streams
+#: at SORT_ROWS windows instead (_host_code_chunks).
 BLOCK = int(os.environ.get("KMDIFF_COUNT_BLOCK", 1 << 22))
 
-#: per-dispatch row cap for the count sort. Two full extraction blocks sit
-#: just under 2^23 rows, so chunks pad almost perfectly to this pow2 bucket
-#: (one whole-sample sort pads up to 2x) and no sort shape ever exceeds the
-#: 8M ceiling past which this rig's remote-compile service stalls for tens
-#: of minutes. Cross-chunk duplicate k-mers are summed by a host k-way
-#: merge of the distinct streams (native merge_counted_streams).
-SORT_ROWS = int(os.environ.get("KMDIFF_COUNT_SORT_ROWS", 1 << 23))
+#: per-dispatch window cap for the count sort. Warm sort wall time on the
+#: tunnel rig is DISPATCH-latency-bound, not size-bound (8Mi and 16Mi-row
+#: 2-lane sorts both run in ~250-340 ms — bench/sort_shape_probe.py), so
+#: the cap sits at the largest shape the remote-compile service handles
+#: (one-time ~50 s at 2^24; the 2^23 ceiling documented in round 2 was a
+#: compile-service artifact that no longer reproduces). A typical 8.4 Mbp
+#: sample then counts in ONE upload + ONE fused dispatch with no
+#: cross-chunk dedup pass at all; samples past the cap still chunk here
+#: and dedup-merge (host k-way merge on the file path, device
+#: dedup_sum_lanes on the fused path).
+SORT_ROWS = int(os.environ.get("KMDIFF_COUNT_SORT_ROWS", (1 << 24) - 128))
 
 _HASH_SEED = np.uint32(0x9E3779B9)
 
@@ -123,11 +123,28 @@ def _device_kmer_blocks(codes: np.ndarray, k: int):
     return out
 
 
-def _host_code_blocks(all_codes: list[np.ndarray], k: int) -> list[np.ndarray]:
+def _q4_ceil(n: int, lo: int = 1 << 14) -> int:
+    """Smallest quarter-pow2 ({4,5,6,7} << b) >= max(n, lo): four compiled
+    shapes per octave (same ladder as utils.transfer.fetch_prefix)."""
+    n = max(int(n), lo)
+    b = max(n - 1, 1).bit_length()
+    step = 1 << max(b - 3, 0)
+    return -(-n // step) * step
+
+
+def _host_code_chunks(
+    all_codes: list[np.ndarray], k: int, sort_rows: int
+) -> list[np.ndarray]:
     """Join per-file code arrays with one INVALID separator (no k-window
-    spans two files) and slice into <= BLOCK host blocks with k-1 codes of
-    overlap, so every window lands in exactly one block; short tails pad
-    to a pow2 bucket (floor 2^14) to bound the compiled-shape set."""
+    spans two files) and slice into sort chunks of <= sort_rows windows
+    with k-1 codes of overlap, each padded with INVALID to a quarter-pow2
+    bucket (floor 2^14) so the compiled-shape set stays bounded.
+
+    One chunk = ONE host->device upload = ONE fused extract+sort+RLE
+    dispatch (ops.codec.fused_count_kernel). Dispatch round trips, not
+    device time, bound the counting phase on tunneled rigs
+    (bench/sort_shape_probe.py: 8-16Mi-row sorts all run ~250-340 ms
+    warm), so the chunk is as coarse as the compile service allows."""
     from kmdiff_tpu.ops.codec import INVALID
 
     sep = np.full(1, INVALID, dtype=np.uint8)
@@ -139,46 +156,15 @@ def _host_code_blocks(all_codes: list[np.ndarray], k: int) -> list[np.ndarray]:
     codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     if len(codes) < k:
         return []
-    blocks = []
-    stride = BLOCK - (k - 1)
-    for s in range(0, len(codes) - k + 1, stride):
-        chunk = codes[s : s + BLOCK]
-        if len(chunk) < BLOCK:
-            pad_to = min(BLOCK, 1 << max(14, (len(chunk) - 1).bit_length()))
+    chunks = []
+    for s in range(0, len(codes) - k + 1, sort_rows):
+        chunk = codes[s : s + sort_rows + k - 1]
+        pad_to = _q4_ceil(len(chunk))
+        if pad_to > len(chunk):
             chunk = np.concatenate(
                 [chunk, np.full(pad_to - len(chunk), INVALID, np.uint8)]
             )
-        blocks.append(chunk)
-    return blocks
-
-
-def _chunk_code_blocks(
-    blocks: list[np.ndarray], k: int, sort_rows: int
-) -> list[list[np.ndarray]]:
-    """Group code blocks into sort chunks of <= sort_rows windows (two
-    full extraction blocks sit just under 2^23 — near-zero pow2 pad, no
-    >8M compile stalls; see SORT_ROWS). A single block past the cap —
-    BLOCK tuned above SORT_ROWS — splits at window boundaries with k-1
-    codes of overlap."""
-    chunks: list[list[np.ndarray]] = []
-    cur: list[np.ndarray] = []
-    rows = 0
-    for b in blocks:
-        w = len(b) - k + 1
-        while w > sort_rows:
-            if cur:
-                chunks.append(cur)
-                cur, rows = [], 0
-            chunks.append([b[: sort_rows + k - 1]])
-            b = b[sort_rows:]
-            w = len(b) - k + 1
-        if cur and rows + w > sort_rows:
-            chunks.append(cur)
-            cur, rows = [], 0
-        cur.append(b)
-        rows += w
-    if cur:
-        chunks.append(cur)
+        chunks.append(chunk)
     return chunks
 
 
@@ -217,31 +203,31 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     """
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import fused_count_multi
+    from kmdiff_tpu.ops.codec import fused_count_kernel
 
-    # ONE dispatch per sort chunk: extraction ladders for every code block
-    # in the chunk, lane concat, sort, and RLE fused into a single program
-    # (ops.codec.fused_count_multi) — multi-block samples used to pay one
-    # dispatch per extraction block plus the sort dispatch, each a full
-    # round trip on sync-dispatch rigs. max_distinct = the chunk's window
-    # count: the cap only sizes the output blob (compaction is a second
-    # sort, cost independent of it), while an undersized guess forces a
-    # full kernel re-run — genomic dup ratios (~1.3-2x) overflowed the old
-    # quarter guess nearly always.
-    blocks = _host_code_blocks(all_codes, k)
-    if not blocks:
+    # ONE upload + ONE dispatch per sort chunk: the sample's whole code
+    # stream (files joined with INVALID separators) slices into
+    # <= SORT_ROWS-window chunks, and each chunk's extraction ladder,
+    # sort, and RLE fuse into a single program (ops.codec
+    # .fused_count_kernel) — per-extraction-block uploads each paid a
+    # full round trip on sync-dispatch rigs. max_distinct = the chunk's
+    # window count: the cap only sizes the output blob (compaction is a
+    # second sort, cost independent of it), while an undersized guess
+    # forces a full kernel re-run — genomic dup ratios (~1.3-2x)
+    # overflowed the old quarter guess nearly always.
+    chunks = _host_code_chunks(all_codes, k, SORT_ROWS)
+    if not chunks:
         return (
             np.zeros((0, n_words(k)), np.uint64),
             np.zeros(0, np.uint32),
             np.zeros(0, np.uint32),
         )
-    chunks = _chunk_code_blocks(blocks, k, SORT_ROWS)
 
     streams = []
     for chunk in chunks:
-        W = sum(len(b) - k + 1 for b in chunk)
-        stats, lane_blob, counts = fused_count_multi(
-            tuple(jnp.asarray(b) for b in chunk), k, W
+        W = len(chunk) - k + 1
+        stats, lane_blob, counts = fused_count_kernel(
+            jnp.asarray(chunk), k, W
         )
         stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
         U = int(stats_h[0])

@@ -57,8 +57,11 @@ from kmdiff_tpu.utils.logging import logger
 CHUNK_ROWS = int(os.environ.get("KMDIFF_FUSED_CHUNK_ROWS", 0))
 
 #: the largest sort this rig's remote-compile service handles without
-#: stalling (see pipeline.count.SORT_ROWS); chunk shapes target 7/8 of it
-SORT_CEILING = 1 << 23
+#: stalling (see pipeline.count.SORT_ROWS); chunk shapes target 7/8 of
+#: it. Warm sort time is dispatch-latency-bound up to at least 2^24 rows
+#: (bench/sort_shape_probe.py), so coarser chunks directly cut merge wall
+#: time.
+SORT_CEILING = 1 << 24
 
 
 def _q4_floor(n: int) -> int:
@@ -134,14 +137,10 @@ def count_sample_resident(
 
     from kmdiff_tpu.ops.codec import (
         dedup_sum_lanes,
-        fused_count_multi,
+        fused_count_kernel,
         n_lanes,
     )
-    from kmdiff_tpu.pipeline.count import (
-        SORT_ROWS,
-        _chunk_code_blocks,
-        _host_code_blocks,
-    )
+    from kmdiff_tpu.pipeline.count import SORT_ROWS, _host_code_chunks
 
     if slack is None:
         slack = CHUNK_ROWS or (1 << 18)
@@ -150,16 +149,14 @@ def count_sample_resident(
     total_mass = 0  # exact counted windows (sum of per-chunk n_valid)
     uvec = None
 
-    # ONE dispatch per sort chunk (extraction + sort + RLE fused,
-    # ops.codec.fused_count_multi), same blocking as the host path
-    blocks = _host_code_blocks(all_codes, k)
-    chunks = _chunk_code_blocks(blocks, k, SORT_ROWS) if blocks else []
+    # ONE upload + ONE dispatch per sort chunk (extraction + sort + RLE
+    # fused, ops.codec.fused_count_kernel), same chunking as the file path
+    chunks = _host_code_chunks(all_codes, k, SORT_ROWS)
     one_chunk = len(chunks) == 1  # then its hist IS the sample hist
     for chunk in chunks:
-        W = sum(len(b) - k + 1 for b in chunk)
-        stats, lane_blob, counts = fused_count_multi(
-            tuple(jnp.asarray(b) for b in chunk), k, W,
-            with_hist=one_chunk,
+        W = len(chunk) - k + 1
+        stats, lane_blob, counts = fused_count_kernel(
+            jnp.asarray(chunk), k, W, with_hist=one_chunk
         )
         stats_h = np.asarray(stats)
         U = int(stats_h[0])
@@ -220,8 +217,13 @@ def count_sample_resident(
         st2 = np.asarray(stats2)
         U, mx = int(st2[0]), int(st2[1])
 
-    # final resident shape: quarter-pow2 >= U + slack so chunk
-    # dynamic_slices never clamp (sentinel rows keep the blob sorted)
+    # final resident shape: capacity >= U + slack so chunk dynamic_slices
+    # never clamp (sentinel rows keep the blob sorted). The kernel's
+    # window-count-sized blob usually has that slack already — keep it
+    # as-is then: every slice/pad here is an extra dispatch, i.e. a full
+    # round trip on sync-dispatch rigs. Slice down only when the blob
+    # wastes >2x the needed rows (high-duplication samples), where the
+    # HBM recovered outweighs the round trip.
     P_final = _q4(U + slack)
     if blob.shape[0] < P_final:
         padl = jnp.full((P_final - blob.shape[0], L), 0xFFFFFFFF, jnp.uint32)
@@ -229,7 +231,7 @@ def count_sample_resident(
         counts = jnp.concatenate(
             [counts, jnp.zeros(P_final - counts.shape[0], jnp.uint32)]
         )
-    elif blob.shape[0] > P_final:
+    elif blob.shape[0] > 2 * P_final:
         blob = blob[:P_final]
         counts = counts[:P_final]
     return ResidentStream(
@@ -397,12 +399,32 @@ def _bounds_pos_impl(blobs, bd, split):
     )
 
 
+def _subsample_split_impl(blobs, split):
+    """Every stream's [::1024] subsample of the split-lane column, stacked
+    to [S, K] in ONE dispatch + ONE read (a per-stream np.asarray each
+    paid a slice dispatch + a transfer round trip). Shorter streams pad
+    with the sentinel, which the host filters anyway."""
+    import jax.numpy as jnp
+
+    cols = [b[::1024, split] for b in blobs]
+    K = max(c.shape[0] for c in cols)
+    out = []
+    for c in cols:
+        if c.shape[0] < K:
+            c = jnp.concatenate(
+                [c, jnp.full(K - c.shape[0], 0xFFFFFFFF, jnp.uint32)]
+            )
+        out.append(c)
+    return jnp.stack(out)
+
+
 _lane_minmax_all = None
 _bounds_pos = None
+_subsample_split = None
 
 
 def _get_batched_helpers():
-    global _lane_minmax_all, _bounds_pos
+    global _lane_minmax_all, _bounds_pos, _subsample_split
     if _lane_minmax_all is None:
         import jax
 
@@ -410,14 +432,17 @@ def _get_batched_helpers():
         _bounds_pos = jax.jit(
             _bounds_pos_impl, static_argnames=("split",)
         )
-    return _lane_minmax_all, _bounds_pos
+        _subsample_split = jax.jit(
+            _subsample_split_impl, static_argnames=("split",)
+        )
+    return _lane_minmax_all, _bounds_pos, _subsample_split
 
 
 def _pick_split_lane(streams, L: int) -> int:
     """First lane with >1 value over the valid rows (k <= 16 leaves the
     high lane constant-zero); verified EXACTLY on device, not just on a
     subsample — and for EVERY stream in one dispatch + one host read."""
-    minmax_all, _ = _get_batched_helpers()
+    minmax_all, _, _ = _get_batched_helpers()
     mm = np.asarray(minmax_all(tuple(s.blob for s in streams)))
     for lane in range(L):
         lo = int(mm[:, 2 * lane].min())
@@ -485,12 +510,9 @@ def fused_merge(
         # buffer including sentinel fill, so fill ratio IS sort
         # efficiency); the per-stream-extent seed term covers skewed
         # cohorts in the first attempt
-        _, bounds_pos = _get_batched_helpers()
-        subs = []
-        for s in streams:
-            col = np.asarray(s.blob[::1024, split])
-            subs.append(col[col != 0xFFFFFFFF])
-        pool = np.concatenate(subs) if subs else np.zeros(0, np.uint32)
+        _, bounds_pos, subsample_split = _get_batched_helpers()
+        sub_all = np.asarray(subsample_split(blobs, split=split))
+        pool = sub_all[sub_all != 0xFFFFFFFF]
         if pool.size == 0:
             pool = np.zeros(1, np.uint32)
         target = max(1, (S * M * 7) // 8)

@@ -409,9 +409,8 @@ def test_count_sample_device_chunked_parity(k, monkeypatch):
     codes = _flat_codes([s.encode() for s in reads])
 
     big = pc.count_sample_device([codes], k, 4)
-    # tiny blocks + a chunk budget that forces several sort chunks AND a
-    # multi-stream host merge with cross-chunk duplicate k-mers
-    monkeypatch.setattr(pc, "BLOCK", 1 << 12)
+    # a tiny chunk budget forces several sort chunks AND a multi-stream
+    # host merge with cross-chunk duplicate k-mers
     monkeypatch.setattr(pc, "SORT_ROWS", 1 << 13)
     small = pc.count_sample_device([codes], k, 4)
     for a, b in zip(big, small):
@@ -466,17 +465,22 @@ def test_merge_streams_beyond_native_cap():
     assert got[7] == 4 and got[0] == 1
 
 
-def test_count_block_wider_than_sort_rows(monkeypatch):
-    """A single extraction block above SORT_ROWS splits device-side instead
-    of compiling an oversized sort shape."""
+def test_count_chunk_cut_points(monkeypatch):
+    """Chunk cut points carry k-1 codes of overlap: every window lands in
+    exactly one chunk even when a cut slices through a read, and the
+    chunked result is byte-identical to the single-chunk one."""
     import kmdiff_tpu.pipeline.count as pc
 
     rng = np.random.default_rng(41)
-    reads = [_rand_seq(rng, 700) for _ in range(30)] * 2
+    # one long read far wider than the forced chunk budget: windows
+    # MUST span cut points (the multi-read case can hide off-by-ones when
+    # cuts land on separators)
+    reads = [_rand_seq(rng, 30_000)]
     codes = _flat_codes([s.encode() for s in reads])
     ref = pc.count_sample_device([codes], 21, 4)
-    monkeypatch.setattr(pc, "BLOCK", 1 << 14)
-    monkeypatch.setattr(pc, "SORT_ROWS", 1 << 12)  # below the block width
+    monkeypatch.setattr(pc, "SORT_ROWS", 1 << 12)
     got = pc.count_sample_device([codes], 21, 4)
     for a, b in zip(ref, got):
         assert np.array_equal(a, b)
+    # counts must cover every window exactly once
+    assert int(got[2].sum()) == len(codes) - 21 + 1

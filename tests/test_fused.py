@@ -126,12 +126,11 @@ def test_fused_matches_two_stage(cohort, tmp_path, monkeypatch):
 
 
 def test_fused_hard_min_multichunk(cohort, tmp_path, monkeypatch):
-    """Tiny extraction/sort budgets force every sample through the
-    multi-chunk path (device dedup-sum of partial counts) with a hard-min
-    filter on top — the numerically riskiest fused configuration."""
+    """A tiny sort budget forces every sample through the multi-chunk
+    path (device dedup-sum of partial counts) with a hard-min filter on
+    top — the numerically riskiest fused configuration."""
     import kmdiff_tpu.pipeline.count as cmod
 
-    monkeypatch.setattr(cmod, "BLOCK", 1 << 12)
     monkeypatch.setattr(cmod, "SORT_ROWS", 1 << 12)
     res = _run_both(cohort, tmp_path, monkeypatch,
                     copt_kw=dict(hard_min=2))
