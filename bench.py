@@ -122,7 +122,12 @@ def measure_device_merge() -> float:
     )
 
     S = 20
-    N = 1 << (16 if QUICK else 21)
+    # 2^23 rows: the dispatch size the PRODUCT ships (fused merge chunks
+    # target 7/8 x 2^24 rows; two-stage chunks 2^23) — and measured 17%
+    # faster per row than 2^21 (bench/kernel_shape_probe.py: 8.7e7 vs
+    # 7.4e7 distinct/s; fixed per-dispatch overhead amortizes over 4x
+    # the rows)
+    N = 1 << (16 if QUICK else 23)
     per = N // S
     rng = np.random.default_rng(0)
     kmers = [
@@ -157,7 +162,7 @@ def measure_device_merge() -> float:
         acc = o["meta"].sum() + o["hit_blob"].astype(jnp.int32).sum()
         return acc.astype(jnp.int32)
 
-    iters = 3 if QUICK else 12
+    iters = 3 if QUICK else 6
     dt = _timed_chain(step, iters)
     n_distinct = len(np.unique(np.concatenate(
         [k[:, 0] for k in kmers])))

@@ -260,6 +260,68 @@ def fused_count_kernel(codes, k: int, max_distinct: int,
     return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
 
 
+def pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """Host: u8 code array (INVALID marks) -> one u32 buffer of
+    [ceil(N/16) words of 2-bit codes | ceil(N/32) words of validity bits]
+    — 2.25 bits/base instead of 8, one upload. The tunnel H2D path runs
+    at ~52 MB/s with a ~125 ms fixed cost per transfer (bench/
+    h2d_probe.py), so shrinking the counting upload 3.6x takes ~75 ms
+    off every sample."""
+    N = len(codes)
+    valid = codes != INVALID
+    c2 = np.where(valid, codes, 0).astype(np.uint32)
+    n16 = -(-N // 16)
+    pad16 = n16 * 16 - N
+    if pad16:
+        c2 = np.concatenate([c2, np.zeros(pad16, np.uint32)])
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    words_c = (c2.reshape(n16, 16) << shifts).astype(np.uint32)
+    words_c = np.bitwise_or.reduce(words_c, axis=1)
+    n32 = -(-N // 32)
+    pad32 = n32 * 32 - N
+    vb = valid.astype(np.uint32)
+    if pad32:
+        vb = np.concatenate([vb, np.zeros(pad32, np.uint32)])
+    words_v = vb.reshape(n32, 32) << np.arange(32, dtype=np.uint32)[None, :]
+    words_v = np.bitwise_or.reduce(words_v, axis=1)
+    return np.concatenate([words_c, words_v])
+
+
+def unpack_codes(buf, n: int):
+    """Device inverse of pack_codes_host: [n] u8 codes with INVALID where
+    the validity bit is clear. Pure shifts + a transposed reshape — no
+    gather."""
+    n16 = -(-n // 16)
+    n32 = -(-n // 32)
+    wc = buf[:n16]
+    wv = buf[n16 : n16 + n32]
+    sh = 2 * jnp.arange(16, dtype=jnp.uint32)
+    codes = ((wc[:, None] >> sh[None, :]) & jnp.uint32(3)).astype(jnp.uint8)
+    codes = codes.reshape(n16 * 16)[:n]
+    shv = jnp.arange(32, dtype=jnp.uint32)
+    valid = ((wv[:, None] >> shv[None, :]) & jnp.uint32(1)).astype(bool)
+    valid = valid.reshape(n32 * 32)[:n]
+    return jnp.where(valid, codes, jnp.uint8(INVALID))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n", "max_distinct", "with_hist")
+)
+def fused_count_packed(buf, k: int, n: int, max_distinct: int,
+                       with_hist: bool = False):
+    """fused_count_kernel over a pack_codes_host buffer: unpack + extract
+    + sort + RLE in the same single dispatch.
+
+    The optimization barrier after the unpack is load-bearing: without
+    it XLA fuses the unpack into each of the extraction ladder's k
+    shifted consumers and RECOMPUTES it per slice — measured 1853 ms vs
+    259 ms for the identical 10.5M-code chunk (bench/pack_ab.py). The
+    barrier forces one materialized [n] u8 codes array."""
+    codes = jax.lax.optimization_barrier(unpack_codes(buf, n))
+    lanes, _ok = extract_canonical_lanes(codes, k, mask_invalid=True)
+    return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
+
+
 def sort_rle_core(lanes, max_distinct: int, weights=None, hard_min: int = 1,
                   with_hist: bool = False):
     """Sort by lanes, run-length encode, compact — the shared body of the

@@ -58,6 +58,7 @@ def merge_lrt_local(
     wide_sums: bool = False,
     packed_ctrl: bool = False,
     range_rows: int = 0,
+    meta_in_blob: bool = False,
 ):
     """One partition's merged test, fully on device.
 
@@ -306,6 +307,18 @@ def merge_lrt_local(
             jnp.uint8
         )
     out["meta"] = jnp.stack([n_distinct, n_hits, out["n_geno"]])
+    if meta_in_blob:
+        # meta rides ROW 0 of the hit blob, so small-budget dispatches
+        # answer sync + overflow check + survivor fetch in ONE host read
+        # (meta-read + prefix-fetch cost two round trips each on
+        # sync-dispatch rigs; pipeline.merge fetches the whole
+        # [1+max_hits, R] blob when max_hits is small enough for the pad
+        # transfer to be cheaper than a round trip)
+        R = len(blob_cols)
+        meta_row = jnp.concatenate(
+            [out["meta"].astype(jnp.uint32), jnp.zeros(R - 3, jnp.uint32)]
+        ).reshape(1, R)
+        out["hit_blob"] = jnp.concatenate([meta_row, out["hit_blob"]])
     return out
 
 
@@ -316,6 +329,7 @@ merge_lrt_kernel = functools.partial(
     static_argnames=(
         "nb_controls", "nb_samples", "max_hits", "max_geno", "want_geno",
         "want_rows", "wide_sums", "packed_ctrl", "range_rows",
+        "meta_in_blob",
     ),
 )(merge_lrt_local)
 

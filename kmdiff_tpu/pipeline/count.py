@@ -123,6 +123,38 @@ def _device_kmer_blocks(codes: np.ndarray, k: int):
     return out
 
 
+def _dispatch_count_chunk(chunk: np.ndarray, k: int,
+                          with_hist: bool = False):
+    """One code chunk -> one fused extract/sort/RLE dispatch.
+
+    KMDIFF_PACKED_CODES=1 opts into shipping 2-bit-packed codes + a
+    validity bitmask (3.6x fewer H2D bytes; the kernel unpacks in the
+    same dispatch). Measured on the tunnel rig it LOSES to the raw u8
+    upload in the real pipeline (warm count phase 12.1 s vs 8.3-9.4 s
+    same rig state): per-sample uploads from the thread pool overlap
+    device compute anyway, so the smaller transfer buys nothing while
+    the unpack+barrier adds a real device pass — and the packed
+    program's remote compile once stalled 34 min. Kept opt-in for
+    deployments where H2D is the measured bottleneck."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import (
+        fused_count_kernel,
+        fused_count_packed,
+        pack_codes_host,
+    )
+
+    W = len(chunk) - k + 1
+    if os.environ.get("KMDIFF_PACKED_CODES") == "1":
+        buf = pack_codes_host(chunk)
+        return fused_count_packed(
+            jnp.asarray(buf), k, len(chunk), W, with_hist=with_hist
+        )
+    return fused_count_kernel(
+        jnp.asarray(chunk), k, W, with_hist=with_hist
+    )
+
+
 def _q4_ceil(n: int, lo: int = 1 << 14) -> int:
     """Smallest quarter-pow2 ({4,5,6,7} << b) >= max(n, lo): four compiled
     shapes per octave (same ladder as utils.transfer.fetch_prefix)."""
@@ -201,20 +233,16 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
     Returns (kmers [U, nw] u64 sorted by (part, kmer), parts [U],
     counts [U]).
     """
-    import jax.numpy as jnp
-
-    from kmdiff_tpu.ops.codec import fused_count_kernel
-
     # ONE upload + ONE dispatch per sort chunk: the sample's whole code
     # stream (files joined with INVALID separators) slices into
     # <= SORT_ROWS-window chunks, and each chunk's extraction ladder,
-    # sort, and RLE fuse into a single program (ops.codec
-    # .fused_count_kernel) — per-extraction-block uploads each paid a
-    # full round trip on sync-dispatch rigs. max_distinct = the chunk's
-    # window count: the cap only sizes the output blob (compaction is a
-    # second sort, cost independent of it), while an undersized guess
-    # forces a full kernel re-run — genomic dup ratios (~1.3-2x)
-    # overflowed the old quarter guess nearly always.
+    # sort, and RLE fuse into a single program (_dispatch_count_chunk) —
+    # per-extraction-block uploads each paid a full round trip on
+    # sync-dispatch rigs. max_distinct = the chunk's window count: the
+    # cap only sizes the output blob (compaction is a second sort, cost
+    # independent of it), while an undersized guess forces a full kernel
+    # re-run — genomic dup ratios (~1.3-2x) overflowed the old quarter
+    # guess nearly always.
     chunks = _host_code_chunks(all_codes, k, SORT_ROWS)
     if not chunks:
         return (
@@ -225,10 +253,7 @@ def count_sample_device(all_codes: list[np.ndarray], k: int, nb_partitions: int)
 
     streams = []
     for chunk in chunks:
-        W = len(chunk) - k + 1
-        stats, lane_blob, counts = fused_count_kernel(
-            jnp.asarray(chunk), k, W
-        )
+        stats, lane_blob, counts = _dispatch_count_chunk(chunk, k)
         stats_h = np.asarray(stats)  # one read: (n_distinct, max_count, _)
         U = int(stats_h[0])
         streams.append(_fetch_stream(U, lane_blob, counts, int(stats_h[1])))

@@ -135,12 +135,12 @@ def count_sample_resident(
     reaches the host here."""
     import jax.numpy as jnp
 
-    from kmdiff_tpu.ops.codec import (
-        dedup_sum_lanes,
-        fused_count_kernel,
-        n_lanes,
+    from kmdiff_tpu.ops.codec import dedup_sum_lanes, n_lanes
+    from kmdiff_tpu.pipeline.count import (
+        SORT_ROWS,
+        _dispatch_count_chunk,
+        _host_code_chunks,
     )
-    from kmdiff_tpu.pipeline.count import SORT_ROWS, _host_code_chunks
 
     if slack is None:
         slack = CHUNK_ROWS or (1 << 18)
@@ -149,14 +149,13 @@ def count_sample_resident(
     total_mass = 0  # exact counted windows (sum of per-chunk n_valid)
     uvec = None
 
-    # ONE upload + ONE dispatch per sort chunk (extraction + sort + RLE
-    # fused, ops.codec.fused_count_kernel), same chunking as the file path
+    # ONE upload (2-bit packed) + ONE dispatch per sort chunk (unpack +
+    # extraction + sort + RLE fused), same chunking as the file path
     chunks = _host_code_chunks(all_codes, k, SORT_ROWS)
     one_chunk = len(chunks) == 1  # then its hist IS the sample hist
     for chunk in chunks:
-        W = len(chunk) - k + 1
-        stats, lane_blob, counts = fused_count_kernel(
-            jnp.asarray(chunk), k, W, with_hist=one_chunk
+        stats, lane_blob, counts = _dispatch_count_chunk(
+            chunk, k, with_hist=one_chunk
         )
         stats_h = np.asarray(stats)
         U = int(stats_h[0])
@@ -294,7 +293,7 @@ def _assemble_chunk_impl(blobs, counts, starts, lens, M, nb_controls, mode):
 def _fused_chunk_impl(
     blobs, counts, starts, lens, ratio_c, ratio_k, lr_min, pca_thr,
     pca_seed, M, nb_controls, mode, max_hits, max_geno, want_geno,
-    nb_samples, want_rows, wide,
+    nb_samples, want_rows, wide, mblob,
 ):
     """Assemble + merge+LRT in ONE jitted program: the chunk gather feeds
     the kernel without an intermediate dispatch (each extra dispatch costs
@@ -308,7 +307,7 @@ def _fused_chunk_impl(
         lanes, sample, count, nb_controls, ratio_c, ratio_k, lr_min,
         pca_thr, pca_seed, max_hits, max_geno, want_geno,
         nb_samples=nb_samples, want_rows=want_rows, wide_sums=wide,
-        packed_ctrl=(mode != "full"),
+        packed_ctrl=(mode != "full"), meta_in_blob=mblob,
     )
 
 
@@ -324,7 +323,7 @@ def _get_fused_chunk():
             _fused_chunk_impl,
             static_argnames=(
                 "M", "nb_controls", "mode", "max_hits", "max_geno",
-                "want_geno", "nb_samples", "want_rows", "wide",
+                "want_geno", "nb_samples", "want_rows", "wide", "mblob",
             ),
         )
     return _fused_chunk
@@ -577,13 +576,13 @@ def fused_merge(
         st_d = jnp.asarray(starts[c])
         ln_d = jnp.asarray(lens[c])
 
-        def dispatch(max_hits, max_geno, st_d=st_d, ln_d=ln_d):
+        def dispatch(max_hits, max_geno, mblob=False, st_d=st_d, ln_d=ln_d):
             return fused_kernel(
                 blobs, counts_t, st_d, ln_d,
                 ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
                 M=M, nb_controls=processor.nb_controls, mode=mode,
                 max_hits=max_hits, max_geno=max_geno, want_geno=want_geno,
-                nb_samples=S, want_rows=want_rows, wide=wide,
+                nb_samples=S, want_rows=want_rows, wide=wide, mblob=mblob,
             )
 
         pre = {

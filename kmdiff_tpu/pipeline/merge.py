@@ -56,6 +56,13 @@ BLOCK_ROWS = 1 << 17
 MAX_DEVICE_ROWS = int(__import__("os").environ.get(
     "KMDIFF_MAX_DEVICE_ROWS", 1 << 23))
 
+#: hit budgets at or below this ride the meta-in-blob single-read path
+#: (ops.merge_dev meta_in_blob): the whole [1+max_hits, R] blob transfers
+#: in one round trip instead of meta-read + prefix-fetch (two). 2^16 rows
+#: x 8 u32 columns = 2 MB — cheaper than a second ~100 ms round trip at
+#: the tunnel's ~30-50 MB/s; budgets past it fall back to prefix fetches.
+META_BLOB_ROWS = 1 << 16
+
 
 def merge_sorted_streams(
     kmers_list: list[np.ndarray],
@@ -777,9 +784,16 @@ class PartitionProcessor:
 
         t0 = time.perf_counter()
         S = len(kmers_list)
+        blob_all = None
         while True:
+            # small-budget dispatches embed meta as hit_blob row 0 and the
+            # host reads the WHOLE [1+max_hits, R] blob once — sync +
+            # overflow check + survivor fetch in a single round trip (the
+            # pad transfer at <=2^16 rows is far cheaper than the extra
+            # round trip a separate meta read costs on sync-dispatch rigs)
+            mblob = max_hits <= META_BLOB_ROWS
             if dispatch_fn is not None:
-                out = dispatch_fn(max_hits, max_geno)
+                out = dispatch_fn(max_hits, max_geno, mblob)
             else:
                 out = merge_lrt_kernel(
                     lanes_dev,
@@ -799,10 +813,16 @@ class PartitionProcessor:
                     wide_sums=wide,
                     packed_ctrl=packed,
                     range_rows=prebuilt.get("range_rows", 0),
+                    meta_in_blob=mblob,
                 )
-            # ONE host read answers sync + overflow (3 scalar reads = 3
-            # round trips on this rig's sync-dispatch mode)
-            meta = np.asarray(out["meta"])
+            if mblob:
+                blob_all = np.asarray(out["hit_blob"])
+                meta = blob_all[0, :3]
+            else:
+                blob_all = None
+                # ONE host read answers sync + overflow (3 scalar reads =
+                # 3 round trips on this rig's sync-dispatch mode)
+                meta = np.asarray(out["meta"])
             n_distinct, n_hits, n_geno = int(meta[0]), int(meta[1]), int(meta[2])
             if n_hits <= max_hits and (not want_geno or n_geno <= max_geno):
                 break
@@ -814,13 +834,25 @@ class PartitionProcessor:
 
         self.phases.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        blob = fetch_prefix(out["hit_blob"], n_hits)
+        blob = (
+            blob_all[1 : 1 + n_hits]
+            if blob_all is not None
+            else fetch_prefix(out["hit_blob"], n_hits)
+        )
         hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)
+        # small-budget auxiliary outputs fetch WHOLE (one round trip; the
+        # pad transfer is cheaper than fetch_prefix's slice dispatch +
+        # fetch pair at these sizes)
+        def _aux(arr, n, cap):
+            if cap <= META_BLOB_ROWS:
+                return np.asarray(arr)[:n]
+            return fetch_prefix(arr, n)
+
         rows_all = (
-            fetch_prefix(out["hit_rows"], n_hits) if want_rows else None
+            _aux(out["hit_rows"], n_hits, max_hits) if want_rows else None
         )
         geno_rows = (
-            fetch_prefix(out["geno_rows"], n_geno) if want_geno else None
+            _aux(out["geno_rows"], n_geno, max_geno) if want_geno else None
         )
         self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows

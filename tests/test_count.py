@@ -397,6 +397,42 @@ def test_count_multi_file_sample_and_fof_ab_min(tmp_path):
     assert "AAAA" not in s2
 
 
+@pytest.mark.parametrize("n", [1, 15, 16, 17, 31, 32, 33, 4097])
+def test_pack_codes_roundtrip(n):
+    """pack_codes_host -> unpack_codes reproduces the u8 code array
+    exactly, INVALID marks included, at every word-boundary edge."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import (
+        INVALID,
+        pack_codes_host,
+        unpack_codes,
+    )
+
+    rng = np.random.default_rng(n)
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    bad = rng.random(n) < 0.1
+    codes[bad] = INVALID
+    buf = pack_codes_host(codes)
+    got = np.asarray(unpack_codes(jnp.asarray(buf), n))
+    assert np.array_equal(got, codes)
+
+
+def test_count_packed_vs_raw_upload_identity(monkeypatch):
+    """The opt-in packed-upload dispatch (KMDIFF_PACKED_CODES=1) and the
+    default raw-u8 kernel produce identical streams."""
+    import kmdiff_tpu.pipeline.count as pc
+
+    rng = np.random.default_rng(5)
+    reads = [_rand_seq(rng, 400) for _ in range(20)] * 2
+    codes = _flat_codes([s.encode() for s in reads])
+    raw = pc.count_sample_device([codes], 21, 4)
+    monkeypatch.setenv("KMDIFF_PACKED_CODES", "1")
+    packed = pc.count_sample_device([codes], 21, 4)
+    for a, b in zip(packed, raw):
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("k", [21, 55])
 def test_count_sample_device_chunked_parity(k, monkeypatch):
     """The chunked sort path (blocks grouped into <= SORT_ROWS sorts +

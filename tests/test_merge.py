@@ -402,6 +402,49 @@ def test_packed16_parity_with_packed32():
     assert outs[0][1] > 0  # the comparison covered real hits
 
 
+def test_meta_in_blob_matches_separate_outputs():
+    """meta_in_blob=True prepends [n_distinct, n_hits, n_geno] as blob
+    row 0 and leaves the survivor rows identical to the separate-output
+    dispatch (the single-read fast path in pipeline.merge)."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.merge_dev import (
+        build_triples_packed,
+        merge_lrt_kernel,
+    )
+
+    rng = np.random.default_rng(11)
+    S = 6
+    pool = np.sort(rng.integers(0, 1 << 40, 600, dtype=np.uint64))
+    kmers_list, counts_list = [], []
+    for _s in range(S):
+        take = np.sort(rng.choice(len(pool), 400, replace=False))
+        kmers_list.append(pool[take].reshape(-1, 1))
+        counts_list.append(rng.integers(1, 30000, 400, dtype=np.uint32))
+    pad_to = 1 << 12
+    lanes, count, _ = build_triples_packed(
+        kmers_list, counts_list, pad_to, 3, pack16=True
+    )
+    args = (
+        tuple(jnp.asarray(l.copy()) for l in lanes),
+        jnp.zeros(1, jnp.int32),
+        jnp.asarray(count.copy()),
+        3, jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.5),
+        jnp.uint32(0), jnp.uint32(0), 1 << 10, 1, False,
+    )
+    plain = merge_lrt_kernel(*args, packed_ctrl=True)
+    emb = merge_lrt_kernel(*args, packed_ctrl=True, meta_in_blob=True)
+    meta = np.asarray(plain["meta"])
+    blob_all = np.asarray(emb["hit_blob"])
+    assert list(blob_all[0, :3]) == list(meta)
+    assert (blob_all[0, 3:] == 0).all()
+    nh = int(meta[1])
+    assert nh > 0
+    assert np.array_equal(
+        blob_all[1 : 1 + nh], np.asarray(plain["hit_blob"])[:nh]
+    )
+
+
 def test_ranged_sort_kernel_identical():
     """The quantile-ranged batched sub-sort layout (KMDIFF_RANGED_SORT)
     must produce EXACTLY the flat kernel's outputs: same n_distinct, same
