@@ -111,7 +111,7 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     from kmdiff_tpu.pipeline.fused import (
         HBM_BUDGET,
         FusedFallback,
-        count_sample_resident,
+        count_samples_resident_batched,
         fused_chunk_rows,
         fused_merge,
     )
@@ -156,18 +156,18 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         else None
     )
     spill_futs = []
+    hard_mins = [e.ab_min or copt.hard_min for e in fof.entries]
 
-    def one_sample(i: int):
+    def load_codes(i: int):
         entry = fof.entries[i]
         paths = [
             p if os.path.isabs(p) else os.path.join(fof_dir, p)
             for p in entry.paths
         ]
-        all_codes = [c for c in (flat_codes(p) for p in paths) if len(c)]
-        hard_min = entry.ab_min or copt.hard_min
-        st = count_sample_resident(
-            all_codes, copt.kmer_size, hard_min, slack=chunk_rows
-        )
+        return [c for c in (flat_codes(p) for p in paths) if len(c)]
+
+    def on_ready(i: int, st):
+        entry = fof.entries[i]
         streams[i] = st
         # histogram fields come off the kernels' stats read (device
         # abundance cardinalities + exact window totals) — no O(distinct)
@@ -181,18 +181,31 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         )
         logger.info(
             "[%s] %d distinct k-mers (%d after hard-min=%d), resident.",
-            entry.id, st.n_distinct_pre, st.U, hard_min,
+            entry.id, st.n_distinct_pre, st.U, hard_mins[i],
         )
         if spill_pool is not None:
             spill_futs.append(
                 spill_pool.submit(_spill_sample, run_dir, entry.id, i,
                                   copt.kmer_size, nb_partitions, st)
             )
-        return st.blob.shape[0] * (4 * st.blob.shape[1] + 4)
 
+    # waves bound the host-resident decoded codes (a whole cohort's raw
+    # streams would be GBs at scale); device traffic batches WITHIN a
+    # wave (count_samples_resident_batched: grouped uploads + one stats
+    # read per group), FASTA decode parallelizes across the thread pool
+    WAVE = 16
     with cf.ThreadPoolExecutor(max(1, copt.nb_threads)) as pool:
-        sizes = list(pool.map(one_sample, range(len(fof.entries))))
-    resident = int(np.sum(sizes))
+        for w in range(0, len(fof.entries), WAVE):
+            idx = list(range(w, min(w + WAVE, len(fof.entries))))
+            codes_list = list(pool.map(load_codes, idx))
+            count_samples_resident_batched(
+                codes_list, copt.kmer_size,
+                [hard_mins[i] for i in idx], chunk_rows,
+                on_ready=lambda j, st, idx=idx: on_ready(idx[j], st),
+            )
+    resident = int(np.sum(
+        [st.blob.shape[0] * (4 * st.blob.shape[1] + 4) for st in streams]
+    ))
     if timings is not None:
         timings["count"] = count_timer.elapsed()
     logger.info(

@@ -48,6 +48,8 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
         count_sample_device([codes], kmer_size, 4)
     logger.info("  counting kernels compiled (%s)", timer.formatted())
 
+    _warmup_fused(S, nb_controls, kmer_size, pop, rng, timer)
+
     # merge + LRT kernels at the pad buckets
     from kmdiff_tpu.core.model import PoissonLikelihood
     from kmdiff_tpu.io.accumulator import VectorAccumulator
@@ -124,3 +126,77 @@ def main_warmup(nb_controls: int, nb_cases: int, kmer_size: int,
         logger.info("  popstrat IRLS compiled (%s)", timer.formatted())
 
     logger.info("Warmup done in %s.", timer.formatted())
+
+
+def _warmup_fused(S, nb_controls, kmer_size, pop, rng, timer):
+    """Pre-compile the fused `run` path's programs, which differ from the
+    two-stage shapes: the counting kernel WITH the device histogram
+    (with_hist=True is a different XLA program — an extra sort + 258
+    searchsorted ride the stats read), and the assemble+merge chunk
+    program at this cohort's production M (pipeline.fused). Single-device
+    only — the fused path is ineligible on a mesh."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.parallel.runtime import get_mesh
+
+    if get_mesh() is not None:
+        return
+    from kmdiff_tpu.core.model import PoissonLikelihood
+    from kmdiff_tpu.io.accumulator import VectorAccumulator
+    from kmdiff_tpu.ops.codec import n_lanes
+    from kmdiff_tpu.pipeline.fused import (
+        FusedFallback,
+        ResidentStream,
+        _q4,
+        count_sample_resident,
+        fused_chunk_rows,
+        fused_merge,
+    )
+    from kmdiff_tpu.pipeline.merge import PartitionProcessor
+
+    try:
+        M = fused_chunk_rows(S)
+    except FusedFallback:
+        return
+    # the with_hist counting program at the typical-sample bucket
+    codes = rng.integers(0, 4, (5 << 21) - 64, dtype=np.uint8)
+    count_sample_resident([codes], kmer_size, 1, slack=M)
+
+    # the assemble+merge chunk program at the production [S*M] shape:
+    # synthetic resident streams with a small sorted prefix and full
+    # chunk slack (the assemble slices M rows per stream regardless of U)
+    L = n_lanes(kmer_size)
+    P = _q4((1 << 10) + M)
+    streams = []
+    for s in range(S):
+        rows = np.unique(rng.integers(0, 1 << 31, 1 << 10, dtype=np.uint32))
+        U = len(rows)
+        blob = np.full((P, L), 0xFFFFFFFF, np.uint32)
+        blob[:U, L - 1] = rows
+        blob[:U, : L - 1] = 0
+        counts = np.zeros(P, np.uint32)
+        counts[:U] = 1
+        streams.append(ResidentStream(
+            jnp.asarray(blob), jnp.asarray(counts), U, 1,
+            np.zeros(257, np.int32), U, U,
+        ))
+    model = PoissonLikelihood(
+        nb_controls, S - nb_controls, [10**6] * nb_controls,
+        [10**6] * (S - nb_controls),
+    )
+
+    class _DummySampler:  # production pop runs sample geno rows in-kernel
+        rate = 0.01
+        seed = 0
+
+        def add_sampled(self, partition, rows):
+            pass
+
+    sampler = _DummySampler() if pop else None
+    proc = PartitionProcessor(
+        model, nb_controls, S - nb_controls, 0.05 / 1e5, keep_counts=pop,
+        sampler=sampler,
+    )
+    accs = [VectorAccumulator() for _ in range(4)]
+    fused_merge(proc, accs, streams, kmer_size, 4, sampler=sampler, M=M)
+    logger.info("  fused-run kernels compiled (%s)", timer.formatted())

@@ -260,6 +260,22 @@ def fused_count_kernel(codes, k: int, max_distinct: int,
     return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "n", "max_distinct", "with_hist")
+)
+def fused_count_at(buf, off, k: int, n: int, max_distinct: int,
+                   with_hist: bool = False):
+    """fused_count_kernel over an [n]-code slice of a larger uploaded
+    buffer at traced offset `off`: several samples' chunks concatenate
+    into ONE host->device transfer (amortizing the tunnel's ~125 ms
+    fixed per-transfer cost) and each member dispatches this kernel at
+    its offset — one compile per (buffer, chunk) shape pair, any number
+    of offsets (pipeline.fused.count_samples_resident_batched)."""
+    codes = jax.lax.dynamic_slice(buf, (off,), (n,))
+    lanes, _ok = extract_canonical_lanes(codes, k, mask_invalid=True)
+    return count_sort_rle_lanes(lanes, max_distinct, with_hist=with_hist)
+
+
 def pack_codes_host(codes: np.ndarray) -> np.ndarray:
     """Host: u8 code array (INVALID marks) -> one u32 buffer of
     [ceil(N/16) words of 2-bit codes | ceil(N/32) words of validity bits]

@@ -423,7 +423,7 @@ def count_sample_device_mesh(
             mesh, k, nb_partitions, bucket_cap, max_distinct
         )
         stats_d, n_drop, blob_d, counts_d = kern(codes_dev)
-        stats_h = np.asarray(stats_d)  # [D, 2]: one read per retry
+        stats_h = np.asarray(stats_d)  # [D, 3]: one read per retry
         n_dist = stats_h[:, 0]
         if int(np.asarray(n_drop)[0]) > 0:
             bucket_cap *= 2

@@ -77,10 +77,22 @@ def fused_chunk_rows(S: int) -> int:
     the assembled S*M chunk under the sort compile ceiling (bigger chunks
     amortize the per-dispatch tunnel round trip AND raise the fill ratio
     the 7/8 chunk targeting can reach), quarter-pow2 so the compiled
-    shape set stays bounded."""
+    shape set stays bounded.
+
+    Cohorts so wide that even the 2^14-row floor would push S*M past the
+    ceiling (S > SORT_CEILING / 2^14 = 1024 samples) cannot be served
+    without either oversized sort shapes (compile stalls) or sub-floor
+    slices (dispatch storms) — they raise FusedFallback and run the
+    two-stage flow instead."""
     if CHUNK_ROWS:
         return CHUNK_ROWS
-    return max(1 << 14, min(1 << 22, _q4_floor(SORT_CEILING // max(S, 1))))
+    fit = _q4_floor(SORT_CEILING // max(S, 1))
+    if fit < 1 << 14:
+        raise FusedFallback(
+            f"{S} samples leave only {fit} chunk rows per stream under "
+            f"the {SORT_CEILING}-row sort ceiling"
+        )
+    return min(1 << 22, fit)
 
 #: resident-stream device-memory budget; cohorts whose streams exceed it
 #: fall back to the two-stage flow
@@ -116,12 +128,12 @@ class ResidentStream:
 
 
 def _q4(n: int, lo: int = 1 << 12) -> int:
-    """Smallest quarter-pow2 ({4,5,6,7} << b) >= max(n, lo) — the same
-    bounded compiled-shape ladder utils.transfer.fetch_prefix uses."""
-    n = max(int(n), lo)
-    b = max(n - 1, 1).bit_length()
-    step = 1 << max(b - 3, 0)
-    return -(-n // step) * step
+    """Smallest quarter-pow2 >= max(n, lo) — delegates to the single
+    ladder implementation (pipeline.count._q4_ceil) so the count
+    chunking and the resident-stream shaping can never drift apart."""
+    from kmdiff_tpu.pipeline.count import _q4_ceil
+
+    return _q4_ceil(n, lo)
 
 
 def count_sample_resident(
@@ -149,8 +161,9 @@ def count_sample_resident(
     total_mass = 0  # exact counted windows (sum of per-chunk n_valid)
     uvec = None
 
-    # ONE upload (2-bit packed) + ONE dispatch per sort chunk (unpack +
-    # extraction + sort + RLE fused), same chunking as the file path
+    # ONE upload + ONE dispatch per sort chunk (extraction + sort + RLE
+    # fused; _dispatch_count_chunk picks the upload encoding), same
+    # chunking as the file path
     chunks = _host_code_chunks(all_codes, k, SORT_ROWS)
     one_chunk = len(chunks) == 1  # then its hist IS the sample hist
     for chunk in chunks:
@@ -202,6 +215,21 @@ def count_sample_resident(
         stats_h = np.asarray(stats)
         U = int(stats_h[0])
         uvec = stats_h[3:]
+    return _finalize_resident(
+        stats_h, blob, counts, uvec, total_mass, hard_min, slack, L
+    )
+
+
+def _finalize_resident(stats_h, blob, counts, uvec, total_mass, hard_min,
+                       slack, L) -> ResidentStream:
+    """Post-kernel shaping shared by the per-sample and batched counting
+    paths: optional hard-min compaction pass, then the resident capacity
+    rule."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import dedup_sum_lanes
+
+    U = int(stats_h[0])
     mx = int(stats_h[1])
     n_pre = U
 
@@ -237,6 +265,100 @@ def count_sample_resident(
         blob, counts, U, int(mx),
         np.asarray(uvec, dtype=np.int32), n_pre, total_mass,
     )
+
+
+#: samples per batched upload+read group in the fused counting phase
+#: (0/1 disables batching); groups share one H2D transfer and one stats
+#: read, amortizing the tunnel's fixed per-transfer and per-read costs
+BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 4))
+
+
+def count_samples_resident_batched(
+    per_sample_codes: list[list[np.ndarray]],
+    k: int,
+    hard_mins: list[int],
+    slack: int,
+    on_ready=None,
+) -> list[ResidentStream]:
+    """Count MANY samples to resident streams with batched device traffic.
+
+    Single-chunk samples (the common case) group by code-bucket size into
+    batches of up to BATCH: each group ships ONE concatenated upload and
+    dispatches one fused kernel per member at a traced offset
+    (ops.codec.fused_count_at), then ONE stacked stats read answers every
+    member — the per-sample flow paid a separate H2D transfer (fixed
+    ~125 ms on the tunnel) and a separate stats round trip each.
+    Multi-chunk samples fall back to count_sample_resident.
+
+    on_ready(i, stream): optional callback fired as each sample's stream
+    materializes (histogram write + spill hook for the caller)."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import fused_count_at, n_lanes
+    from kmdiff_tpu.pipeline.count import SORT_ROWS, _host_code_chunks
+
+    n = len(per_sample_codes)
+    L = n_lanes(k)
+    out: list[ResidentStream | None] = [None] * n
+    chunked = [
+        _host_code_chunks(codes, k, SORT_ROWS) for codes in per_sample_codes
+    ]
+
+    def finish(i, st):
+        out[i] = st
+        if on_ready is not None:
+            on_ready(i, st)
+
+    # group single-chunk samples by their padded code-bucket length
+    groups: dict[int, list[int]] = {}
+    for i, chunks in enumerate(chunked):
+        if len(chunks) == 1 and BATCH > 1:
+            groups.setdefault(len(chunks[0]), []).append(i)
+
+    stack_stats = _get_stack_stats()
+    for nlen, members in sorted(groups.items()):
+        W = nlen - k + 1
+        for g in range(0, len(members), max(BATCH, 1)):
+            grp = members[g : g + BATCH]
+            B = len(grp)
+            buf = np.concatenate([chunked[i][0] for i in grp])
+            buf_d = jnp.asarray(buf)
+            outs = [
+                fused_count_at(
+                    buf_d, jnp.int32(j * nlen), k, nlen, W, with_hist=True
+                )
+                for j in range(B)
+            ]
+            stats_all = np.asarray(
+                stack_stats(tuple(o[0] for o in outs))
+            )
+            for j, i in enumerate(grp):
+                st = _finalize_resident(
+                    stats_all[j], outs[j][1], outs[j][2],
+                    stats_all[j][3:], int(stats_all[j][2]),
+                    hard_mins[i], slack, L,
+                )
+                finish(i, st)
+
+    for i, chunks in enumerate(chunked):
+        if out[i] is None:
+            finish(i, count_sample_resident(
+                per_sample_codes[i], k, hard_mins[i], slack=slack
+            ))
+    return out
+
+
+_stack_stats = None
+
+
+def _get_stack_stats():
+    global _stack_stats
+    if _stack_stats is None:
+        import jax
+        import jax.numpy as jnp
+
+        _stack_stats = jax.jit(lambda ts: jnp.stack(ts))
+    return _stack_stats
 
 
 # ---------------------------------------------------------------------------

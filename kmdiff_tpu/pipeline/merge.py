@@ -840,20 +840,21 @@ class PartitionProcessor:
             else fetch_prefix(out["hit_blob"], n_hits)
         )
         hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)
-        # small-budget auxiliary outputs fetch WHOLE (one round trip; the
-        # pad transfer is cheaper than fetch_prefix's slice dispatch +
-        # fetch pair at these sizes)
-        def _aux(arr, n, cap):
-            if cap <= META_BLOB_ROWS:
+        # small auxiliary outputs fetch WHOLE (one round trip; the pad
+        # transfer is cheaper than fetch_prefix's slice dispatch + fetch
+        # pair at these sizes). Gate on BYTES, not rows: hit_rows/geno
+        # are S columns wide, so a row cap alone would let a wide cohort
+        # move tens of MB of pad over the ~30-50 MB/s tunnel.
+        def _aux(arr, n):
+            total = 1
+            for d in arr.shape:
+                total *= d
+            if total * arr.dtype.itemsize <= (1 << 22):
                 return np.asarray(arr)[:n]
             return fetch_prefix(arr, n)
 
-        rows_all = (
-            _aux(out["hit_rows"], n_hits, max_hits) if want_rows else None
-        )
-        geno_rows = (
-            _aux(out["geno_rows"], n_geno, max_geno) if want_geno else None
-        )
+        rows_all = _aux(out["hit_rows"], n_hits) if want_rows else None
+        geno_rows = _aux(out["geno_rows"], n_geno) if want_geno else None
         self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
 

@@ -287,10 +287,14 @@ def test_diff_cohort_size_mismatch(fixture_dir, tmp_path):
                         nb_cases=3))
 
 
-def test_cli_warmup():
-    """warmup compiles the canonical kernels without error (CPU backend)."""
+def test_cli_warmup(monkeypatch):
+    """warmup compiles the canonical kernels without error (CPU backend).
+    The fused-chunk shape shrinks via CHUNK_ROWS so the CPU test doesn't
+    pay the production 2^24-row sort."""
+    import kmdiff_tpu.pipeline.fused as fmod
     from kmdiff_tpu.cli import main
 
+    monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 10)
     assert main(["warmup", "-1", "2", "-2", "2", "-k", "21", "--pop"]) == 0
 
 

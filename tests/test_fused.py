@@ -137,6 +137,62 @@ def test_fused_hard_min_multichunk(cohort, tmp_path, monkeypatch):
     assert res["total_kmers"] > 0
 
 
+def test_batched_counting_identity(monkeypatch):
+    """count_samples_resident_batched (grouped uploads, stacked stats
+    read) produces streams identical to per-sample count_sample_resident
+    across mixed bucket sizes, partial groups, per-sample hard-min, and
+    an empty sample."""
+    import kmdiff_tpu.pipeline.fused as fmod
+    from kmdiff_tpu.pipeline.fused import (
+        count_sample_resident,
+        count_samples_resident_batched,
+    )
+
+    rng = np.random.default_rng(17)
+    bases = np.array(list("ACGT"), dtype="U1")
+
+    def codes_for(n_reads, read_len):
+        from kmdiff_tpu.pipeline.count import _flat_codes
+
+        seqs = [
+            "".join(rng.choice(bases, read_len)).encode()
+            for _ in range(n_reads)
+        ]
+        return [_flat_codes(seqs)]
+
+    # sizes chosen to straddle quarter-pow2 bucket boundaries: two
+    # buckets with 3 + 2 members (one full group of BATCH=2 + partials)
+    samples = [
+        codes_for(40, 60), codes_for(41, 60), codes_for(39, 60),
+        codes_for(200, 60), codes_for(201, 60),
+        [np.zeros(0, np.uint8)],  # empty sample -> fallback path
+    ]
+    hard_mins = [1, 2, 1, 1, 2, 1]
+
+    monkeypatch.setattr(fmod, "BATCH", 2)
+    batched = count_samples_resident_batched(samples, 21, hard_mins, 1 << 10)
+    order = []
+    count_samples_resident_batched(
+        samples, 21, hard_mins, 1 << 10,
+        on_ready=lambda i, st: order.append(i),
+    )
+    assert sorted(order) == list(range(len(samples)))
+    for i, st_b in enumerate(batched):
+        st_p = count_sample_resident(samples[i], 21, hard_mins[i],
+                                     slack=1 << 10)
+        assert (st_b.U, st_b.max_count, st_b.n_distinct_pre,
+                st_b.total_mass) == (
+            st_p.U, st_p.max_count, st_p.n_distinct_pre, st_p.total_mass)
+        assert np.array_equal(st_b.hist_uvec, st_p.hist_uvec)
+        assert np.array_equal(
+            np.asarray(st_b.blob)[: st_b.U], np.asarray(st_p.blob)[: st_p.U]
+        )
+        assert np.array_equal(
+            np.asarray(st_b.counts)[: st_b.U],
+            np.asarray(st_p.counts)[: st_p.U],
+        )
+
+
 def test_fused_tiny_merge_chunks(cohort, tmp_path, monkeypatch):
     """A 1k-row chunk budget forces many key-range chunks through the
     assemble kernel; outputs must not depend on the chunking."""
