@@ -194,10 +194,19 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     # wave (count_samples_resident_batched: grouped uploads + one stats
     # read per group), FASTA decode parallelizes across the thread pool
     WAVE = 16
+    waves = [
+        list(range(w, min(w + WAVE, len(fof.entries))))
+        for w in range(0, len(fof.entries), WAVE)
+    ]
     with cf.ThreadPoolExecutor(max(1, copt.nb_threads)) as pool:
-        for w in range(0, len(fof.entries), WAVE):
-            idx = list(range(w, min(w + WAVE, len(fof.entries))))
-            codes_list = list(pool.map(load_codes, idx))
+        # wave N+1's FASTA decode runs on the pool while wave N counts on
+        # the device — the load would otherwise serialize ahead of the
+        # device phase it used to overlap in the per-thread flow
+        futs = [pool.submit(load_codes, i) for i in waves[0]] if waves else []
+        for w, idx in enumerate(waves):
+            codes_list = [f.result() for f in futs]
+            if w + 1 < len(waves):
+                futs = [pool.submit(load_codes, i) for i in waves[w + 1]]
             count_samples_resident_batched(
                 codes_list, copt.kmer_size,
                 [hard_mins[i] for i in idx], chunk_rows,

@@ -269,8 +269,15 @@ def _finalize_resident(stats_h, blob, counts, uvec, total_mass, hard_min,
 
 #: samples per batched upload+read group in the fused counting phase
 #: (0/1 disables batching); groups share one H2D transfer and one stats
-#: read, amortizing the tunnel's fixed per-transfer and per-read costs
-BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 4))
+#: read, amortizing a tunnel's fixed per-transfer and per-read costs.
+#: Default OFF: an interleaved same-process A/B on the bench rig
+#: (bench/batch_ab.py, pairs 22.1/21.9, 22.2/19.9, 14.4/12.5 s) showed
+#: the grouped flow 1-15% SLOWER than per-sample dispatches — the
+#: thread-pool flow already overlaps the fixed costs across samples,
+#: while grouping serializes the host-side concat + post-processing.
+#: Kept opt-in for deployments where per-transfer cost dominates and
+#: sample threads are unavailable.
+BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 1))
 
 
 def count_samples_resident_batched(
