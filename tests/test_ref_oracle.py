@@ -252,6 +252,68 @@ def test_popstrat_oracle_set_equality(oracle_bin, stratified_run, tmp_path):
             assert f"{po:g}" == f"{p:g}", (cls, seq, po, p)
 
 
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_oracle_randomized_differential(oracle_bin, tmp_path, seed):
+    """Fuzz-style differential test: random (k, partitions, cohort shape,
+    hard-min, alpha, cutoff, corrector) per seed; the product pipeline and
+    the independent C++ oracle must agree on the significant sets and
+    %g-formatted p-values every time. Catches regressions in regions the
+    fixed-config oracle tests never visit."""
+    import numpy as np
+
+    from kmdiff_tpu.cli import main
+    from kmdiff_tpu.pipeline.simulate import SimOptions, simulate
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.choice([13, 21, 25, 31, 41, 63]))
+    nb_parts = int(rng.choice([1, 2, 4, 5]))
+    nc = int(rng.integers(2, 5))
+    nk = int(rng.integers(2, 5))
+    hard_min = int(rng.choice([1, 1, 2]))
+    alpha = float(rng.choice([0.05, 0.2, 0.4]))
+    cutoff = float(rng.choice([1.0, 10.0]))
+    corrector = str(rng.choice(CORRECTORS))
+
+    sim = tmp_path / "sim"
+    simulate(SimOptions(
+        output_directory=str(sim), genome_len=4000,
+        nb_controls=nc, nb_cases=nk, read_size=100, coverage=2,
+        error_rate=0.005, kmer_size=k, seed=seed,
+    ))
+    run_dir = tmp_path / "run"
+    assert main([
+        "count", "--file", str(sim / "fof.txt"), "--run-dir", str(run_dir),
+        "--kmer-size", str(k), "--hard-min", str(hard_min),
+        "--nb-partitions", str(nb_parts),
+    ]) == 0
+
+    out = tmp_path / "ours"
+    assert main([
+        "diff", "--km-run-dir", str(run_dir), "-1", str(nc), "-2", str(nk),
+        "--output-dir", str(out), "-s", str(alpha),
+        "--cutoff", str(cutoff), "--correction", corrector,
+    ]) == 0
+
+    oracle_out = tmp_path / "oracle"
+    r = subprocess.run(
+        [oracle_bin, str(run_dir), str(oracle_out), str(nc), str(nk),
+         str(alpha), str(cutoff), corrector],
+        check=True, capture_output=True, text=True,
+    )
+    counts = json.loads(r.stdout)
+    manifest = json.loads((out / "options.json").read_text())
+    assert manifest["total_kmers"] == counts["total_tested"] > 0
+    for i, cls in enumerate(("control", "case")):
+        ours = _read_fasta_class(out / f"{cls}_kmers.fasta")
+        oracle = _read_oracle_class(oracle_out / f"{corrector}_{cls}.txt")
+        assert set(ours) == set(oracle), (
+            seed, k, nb_parts, hard_min, alpha, cutoff, corrector, cls
+        )
+        assert len(ours) == counts[corrector][i]
+        for seq, (p, _mc) in ours.items():
+            assert f"{oracle[seq][0]:g}" == f"{p:g}", (seed, cls, seq)
+
+
 def test_oracle_multiword_k77(oracle_bin, tmp_path):
     """Oracle set equality at k=77 (3 u64 words): validates the multiword
     merge, decode, and LRT end to end against the independent C++
