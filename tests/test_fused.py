@@ -137,6 +137,69 @@ def test_fused_hard_min_multichunk(cohort, tmp_path, monkeypatch):
     assert res["total_kmers"] > 0
 
 
+@pytest.mark.parametrize("seed", [11, 29])
+def test_fused_randomized_identity(tmp_path, monkeypatch, seed):
+    """Fuzz-style identity: random (k, partitions, cohort shape, hard-min,
+    threshold, merge-chunk budget) per seed — the fused run must remain
+    byte-identical to count+diff in regions the fixed-config tests never
+    visit."""
+    import kmdiff_tpu.pipeline.fused as fmod
+    from kmdiff_tpu.pipeline.simulate import SimOptions, simulate
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.choice([15, 21, 33, 47]))
+    nb_parts = int(rng.choice([1, 3, 4]))
+    nc = int(rng.integers(2, 5))
+    nk = int(rng.integers(2, 5))
+    hard_min = int(rng.choice([1, 2, 3]))
+    thr = float(rng.choice([0.05, 0.3]))
+    monkeypatch.setattr(
+        fmod, "CHUNK_ROWS", int(rng.choice([1 << 9, 1 << 12, 0]))
+    )
+
+    sim = tmp_path / "sim"
+    simulate(SimOptions(
+        output_directory=str(sim), genome_len=3000,
+        nb_controls=nc, nb_cases=nk, read_size=80, coverage=2,
+        error_rate=0.01, kmer_size=k, seed=seed,
+    ))
+    fof = str(sim / "fof.txt")
+    _no_fallback(monkeypatch)
+    res_f = main_run(
+        CountOptions(fof=fof, directory=str(tmp_path / "kc_f"),
+                     kmer_size=k, hard_min=hard_min,
+                     nb_partitions=nb_parts, nb_threads=2, n_devices=1),
+        DiffOptions(kmtricks_dir=str(tmp_path / "kc_f"),
+                    output_directory=str(tmp_path / "out_f"),
+                    nb_controls=nc, nb_cases=nk, threshold=thr,
+                    correction=CorrectionType.BENJAMINI, nb_threads=2,
+                    n_devices=1),
+        count_files=True,
+    )
+    main_count(CountOptions(
+        fof=fof, directory=str(tmp_path / "kc_s"), kmer_size=k,
+        hard_min=hard_min, nb_partitions=nb_parts, nb_threads=2,
+        n_devices=1,
+    ))
+    res_s = main_diff(DiffOptions(
+        kmtricks_dir=str(tmp_path / "kc_s"),
+        output_directory=str(tmp_path / "out_s"),
+        nb_controls=nc, nb_cases=nk, threshold=thr,
+        correction=CorrectionType.BENJAMINI, nb_threads=2, n_devices=1,
+    ))
+    assert res_f == res_s
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_f" / name).read_bytes() == (
+            tmp_path / "out_s" / name
+        ).read_bytes(), (seed, k, nb_parts, hard_min, thr, name)
+    # spilled run dirs byte-identical too
+    for p in range(nb_parts):
+        pf = tmp_path / "kc_f" / "counts" / f"partition_{p}"
+        ps = tmp_path / "kc_s" / "counts" / f"partition_{p}"
+        for n in sorted(os.listdir(ps)):
+            assert (pf / n).read_bytes() == (ps / n).read_bytes()
+
+
 def test_batched_counting_identity(monkeypatch):
     """count_samples_resident_batched (grouped uploads, stacked stats
     read) produces streams identical to per-sample count_sample_resident
