@@ -98,8 +98,6 @@ def main_run(copt: CountOptions, dopt: DiffOptions,
 
 def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
                     count_files: bool, timings: dict | None = None) -> dict:
-    import numpy as np
-
     from kmdiff_tpu.io.fasta import flat_codes
     from kmdiff_tpu.io.kmtricks import (
         Fof,
@@ -212,9 +210,9 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
                 [hard_mins[i] for i in idx], chunk_rows,
                 on_ready=lambda j, st, idx=idx: on_ready(idx[j], st),
             )
-    resident = int(np.sum(
-        [st.blob.shape[0] * (4 * st.blob.shape[1] + 4) for st in streams]
-    ))
+    resident = sum(
+        st.blob.shape[0] * (4 * st.blob.shape[1] + 4) for st in streams
+    )
     if timings is not None:
         timings["count"] = count_timer.elapsed()
     logger.info(

@@ -185,7 +185,11 @@ def _host_code_chunks(
         if parts:
             parts.append(sep)
         parts.append(c)
-    codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    if not parts:
+        return []
+    # single-file fast path: np.concatenate of one array still copies the
+    # whole code stream (~10 MB for a typical sample)
+    codes = parts[0] if len(parts) == 1 else np.concatenate(parts)
     if len(codes) < k:
         return []
     chunks = []
