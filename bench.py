@@ -86,6 +86,89 @@ def measure_cpp_count_baseline(fasta_paths: list[str], k: int,
         return 0.0
 
 
+def measure_popstrat() -> dict:
+    """Popstrat corrector throughput, device vs the reference's scalar
+    hot loop #2 (one glm_irls fit per significant k-mer,
+    popstrat.hpp:249-333).
+
+    Baseline: bench/ref_oracle.cpp `popbench` — the verbatim-semantics
+    scalar corrector (vendored-alglib chi², Doolittle LU, mse-delta IRLS)
+    on a synthetic cohort. Device side: the PRODUCT's correct_block path
+    (conditioned batched IRLS + chunked dispatch) on the same design
+    shape and count distribution. Both sides fit B=16384 k-mers over
+    S=100 samples with npc=2 (F=5 alt features)."""
+    import subprocess
+
+    B, S, npc = (2048 if QUICK else 16384), 100, 2
+    alglib = "/root/reference/thirdparty/alglib/src"
+    src = os.path.join(HERE, "bench", "ref_oracle.cpp")
+    exe = os.path.join(HERE, "bench", "ref_oracle")
+    cpp = 0.0
+    try:
+        srcs = [
+            src,
+            *(os.path.join(alglib, f"{m}.cpp")
+              for m in ("specialfunctions", "ap", "alglibinternal",
+                        "alglibmisc")),
+            os.path.join(HERE, "kmdiff_tpu", "native", "io_codec.cpp"),
+            os.path.join(HERE, "kmdiff_tpu", "native", "lz4_codec.cpp"),
+        ]
+        if os.path.isdir(alglib):
+            if (not os.path.exists(exe)
+                    or os.path.getmtime(exe)
+                    < max(os.path.getmtime(s) for s in srcs)):
+                subprocess.run(
+                    ["g++", "-O2", f"-I{alglib}", *srcs, "-o", exe],
+                    check=True, capture_output=True, timeout=600,
+                )
+            out = subprocess.run(
+                [exe, "popbench", str(B), str(S), str(npc)],
+                check=True, capture_output=True, timeout=600, text=True,
+            )
+            cpp = float(out.stdout.strip())
+            log(f"[bench] C++ scalar popstrat baseline: {cpp:.3e} alt "
+                f"fits/s (B={B}, S={S}, npc={npc})")
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        log(f"[bench] popstrat C++ baseline unavailable ({e})")
+
+    import numpy as np
+
+    from kmdiff_tpu.io.accumulator import KmerSignBlock
+    from kmdiff_tpu.pipeline.popstrat import PopStratCorrector
+
+    rng = np.random.default_rng(42)
+    totals = rng.uniform(9e5, 1.1e6, S)
+    corr = PopStratCorrector(
+        S // 2, S - S // 2, totals[: S // 2], totals[S // 2:], npc
+    )
+    corr.set_Z(rng.uniform(-1.0, 1.0, (S, 10)))
+    corr.init_global_features()
+
+    def one_pass():
+        block = KmerSignBlock(
+            np.arange(B, dtype=np.uint64)[:, None],
+            np.full(B, 1e-9), np.zeros(B, np.int8),
+            np.zeros(B), np.zeros(B),
+            rng.integers(0, 51, (B, S)).astype(np.float64),
+        )
+        t0 = time.perf_counter()
+        corr.correct_block(block)
+        return time.perf_counter() - t0
+
+    one_pass()  # compile
+    dts = sorted(one_pass() for _ in range(3))
+    dt = dts[1]  # median
+    rate = B / dt
+    log(f"[bench] device popstrat corrector (product correct_block): "
+        f"{rate:.3e} alt fits/s "
+        f"(min/med/max {B/dts[2]:.2e}/{B/dts[1]:.2e}/{B/dts[0]:.2e})")
+    out = {"popstrat_fits_per_sec": round(rate, 1)}
+    if cpp:
+        out["popstrat_vs_baseline"] = round(rate / cpp, 3)
+        log(f"[bench] popstrat vs scalar C++ baseline: {rate/cpp:.2f}x")
+    return out
+
+
 def _timed_chain(step_fn, n_iters: int):
     """Trustworthy device timing under an async remote runtime.
 
@@ -413,13 +496,15 @@ def measure_pipeline(baseline: float) -> dict:
         fused_times = {}
         fused_phases = {}
         fres = None
-        # two no-files warm passes: the rig's state drifts 2-5x between
+        # THREE no-files warm passes: the rig's state drifts 2-5x between
         # runs minutes apart (bench/README.md), so the fused headline is
-        # the BEST of two warm passes (both logged); the +files pass
-        # measures the honest spill-sharing default once
+        # the MEDIAN of three warm passes (min/median/max all reported —
+        # same robustness standard the kernel headline met with four
+        # consecutive >=10x full runs); the +files pass measures the
+        # honest default where the run dir is materialized
         for attempt, with_files in (
-            ("cold", False), ("warm", False), ("warm2", False),
-            ("warm+files", True),
+            ("cold", False), ("warm1", False), ("warm2", False),
+            ("warm3", False), ("warm+files", True),
         ):
             rd = os.path.join(work, f"fused_{attempt}")
             tm = {}
@@ -469,24 +554,37 @@ def measure_pipeline(baseline: float) -> dict:
         log(f"[bench] pipeline diff: {pipe_rate:.3e} kmers tested/s warm "
             f"(IO+transfers included; vs C++ merge-only baseline "
             f"{pipe_rate/baseline:.1f}x)")
-        # best of the two warm passes (rig drift; both logged above)
-        best_warm = min(("warm", "warm2"), key=lambda a: fused_times[a])
-        fused_times["warm"] = fused_times[best_warm]
-        fused_phases["warm"] = fused_phases[best_warm]
+        # median of the three warm passes (rig drift; all logged above);
+        # the MEDIAN pass's phase split rides along so phase ratios match
+        # the headline pass
+        warm_keys = ("warm1", "warm2", "warm3")
+        med_warm = sorted(warm_keys, key=lambda a: fused_times[a])[1]
+        warm_sorted = sorted(fused_times[a] for a in warm_keys)
+        fused_times["warm"] = fused_times[med_warm]
+        fused_phases["warm"] = fused_phases[med_warm]
         fused_rate = fres["total_kmers"] / fused_times["warm"]
         two_stage_warm = times["warm"][0] + times["warm"][1]
+        # vs the two-stage flow: the FAIR comparator is the warm+files
+        # pass — both flows then materialize the full kmtricks run dir
+        # (the two-stage `count` writes it by construction)
+        fused_vs_two_stage = two_stage_warm / fused_times["warm+files"]
         log(f"[bench] fused run: {fused_rate:.3e} kmers tested/s warm "
-            f"FASTA->FASTA ({two_stage_warm/fused_times['warm']:.2f}x the "
-            f"two-stage flow's {two_stage_warm:.1f}s)")
+            f"FASTA->FASTA (no-files warm min/med/max "
+            f"{warm_sorted[0]:.1f}/{warm_sorted[1]:.1f}/"
+            f"{warm_sorted[2]:.1f}s; with-files "
+            f"{fused_times['warm+files']:.1f}s = {fused_vs_two_stage:.2f}x "
+            f"the two-stage flow's {two_stage_warm:.1f}s)")
         out = {
             "pipeline_kmers_per_sec": round(pipe_rate, 1),
             "pipeline_vs_baseline": round(pipe_rate / baseline, 3),
             "counting_bases_per_sec": round(count_rate, 1),
             "pipeline_total_tested": res["total_kmers"],
             "fused_run_seconds": round(fused_times["warm"], 1),
+            "fused_run_seconds_min": round(warm_sorted[0], 1),
+            "fused_run_seconds_max": round(warm_sorted[2], 1),
             "fused_kmers_per_sec": round(fused_rate, 1),
             "fused_vs_baseline": round(fused_rate / baseline, 3),
-            "fused_vs_two_stage": round(two_stage_warm / fused_times["warm"], 2),
+            "fused_vs_two_stage": round(fused_vs_two_stage, 2),
             "fused_with_files_seconds": round(fused_times["warm+files"], 1),
         }
         if count_baseline:
@@ -541,6 +639,10 @@ def main() -> None:
     value = measure_device_merge()
     measure_device_lrt()  # LRT-only upper bound, reported on stderr
     extra = {}
+    try:
+        extra.update(measure_popstrat())
+    except Exception as e:  # supplementary
+        log(f"[bench] popstrat measurement failed: {e!r}")
     if "--no-pipeline" not in sys.argv:
         try:
             extra = measure_pipeline(baseline)

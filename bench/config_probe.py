@@ -17,6 +17,36 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
+def _cpp_baseline_per_width(n: int, S: int) -> dict[int, float]:
+    """Measure bench/ref_baseline at each key width the reference compiles
+    (Kmer<32/64/128> -> 1/2/4 uint64 words, src/main.cc:29-50), so the
+    k=64 and k=128 kernel rates below get their own vs_baseline ratios
+    (BASELINE config #4's large-k regime)."""
+    import subprocess
+
+    src = os.path.join(HERE, "bench", "ref_baseline.cpp")
+    exe = os.path.join(HERE, "bench", "ref_baseline")
+    out = {}
+    try:
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True, timeout=300,
+            )
+        for w in (1, 2, 4):
+            r = subprocess.run(
+                [exe, str(n), str(S), str(w)], check=True,
+                capture_output=True, timeout=600, text=True,
+            )
+            out[w] = float(r.stdout.strip())
+            print(f"[cfg] C++ baseline ({w} key words): {out[w]:.3e} "
+                  f"kmer/s", flush=True)
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        print(f"[cfg] per-width C++ baseline unavailable ({e})", flush=True)
+    return out
+
+
 def kernel_multiword():
     import functools as ft
 
@@ -34,6 +64,7 @@ def kernel_multiword():
     S = 20
     N = 1 << 23
     per = N // S
+    baselines = _cpp_baseline_per_width(1 << 20, S)
     for k, nw in ((31, 1), (64, 2), (128, 4)):
         rng = np.random.default_rng(0)
         kmers = [
@@ -85,9 +116,11 @@ def kernel_multiword():
         for _ in range(iters):
             carry = int(chain4(carry))
         dt = (time.perf_counter() - t0) / iters / 4
+        vs = (f", vs_baseline {n_distinct/dt/baselines[nw]:.2f}x "
+              f"(C++ {nw}-word keys)") if baselines.get(nw) else ""
         print(f"[cfg] k={k} ({2*nw} key lanes) merge kernel: "
               f"{n_distinct/dt:.3e} distinct/s ({dt*1e3:.1f} ms/kernel "
-              f"amortized)", flush=True)
+              f"amortized){vs}", flush=True)
 
 
 def popstrat_irls():

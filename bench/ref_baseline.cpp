@@ -8,11 +8,19 @@
 // precomputed log-factorial table and the chi-square(1) upper tail
 // chi2_sf(x) = erfc(sqrt(x/2)).
 //
+// The optional third argument is the k-mer key width in uint64 WORDS —
+// the reference compiles one Kmer<KSIZE> instantiation per k regime
+// (src/main.cc:29-50, KMER_LIST "32 64 96 128"): 1 word serves k<=32,
+// 2 words k<=64, 4 words k<=128. Multiword keys pay wider comparisons in
+// the heap and wider stream storage, exactly like km::Kmer's array of
+// uint64 blocks.
+//
 // Build: g++ -O3 -march=native -o ref_baseline ref_baseline.cpp
-// Run:   ./ref_baseline [n_kmers_per_sample] [n_samples]
+// Run:   ./ref_baseline [n_kmers_per_sample] [n_samples] [key_words=1]
 // Output: one line "<kmers_merged_and_tested_per_sec>"
 
 #include <algorithm>
+#include <array>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
@@ -39,22 +47,23 @@ static inline double poisson_prob(uint64_t k, double lambda) {
   return -lambda + (double)k * std::log(lambda) - lf(k);
 }
 
-int main(int argc, char** argv) {
-  const size_t n_per_sample = argc > 1 ? std::strtoull(argv[1], nullptr, 10) : (1ull << 20);
-  const size_t S = argc > 2 ? std::strtoull(argv[2], nullptr, 10) : 20;
+template <size_t W>
+static int run(size_t n_per_sample, size_t S) {
   const size_t n_controls = S / 2;
+  using Key = std::array<uint64_t, W>;
 
   init_log_fact(10000);
 
   // synthetic sorted per-sample streams over a shared k-mer universe
   std::mt19937_64 rng(42);
-  std::vector<std::vector<uint64_t>> kmers(S);
+  std::vector<std::vector<Key>> kmers(S);
   std::vector<std::vector<uint32_t>> counts(S);
   for (size_t s = 0; s < S; ++s) {
     kmers[s].resize(n_per_sample);
     counts[s].resize(n_per_sample);
     for (size_t i = 0; i < n_per_sample; ++i) {
-      kmers[s][i] = rng() >> 2;          // ~75% overlap across samples
+      uint64_t v = rng() >> 2;  // ~75% overlap across samples
+      for (size_t w = 0; w < W; ++w) kmers[s][i][w] = v;  // same-universe words
       counts[s][i] = 1 + (rng() & 0x1f);
     }
     std::sort(kmers[s].begin(), kmers[s].end());
@@ -65,7 +74,7 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < n_per_sample; ++i)
       (s < n_controls ? total_c : total_k) += counts[s][i];
 
-  using HeapItem = std::pair<uint64_t, uint32_t>;  // (kmer, sample)
+  using HeapItem = std::pair<Key, uint32_t>;  // (kmer, sample)
   std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>> heap;
   std::vector<size_t> pos(S, 0);
   for (size_t s = 0; s < S; ++s) heap.push({kmers[s][0], (uint32_t)s});
@@ -76,7 +85,7 @@ int main(int argc, char** argv) {
 
   auto t0 = std::chrono::steady_clock::now();
   while (!heap.empty()) {
-    uint64_t cur = heap.top().first;
+    Key cur = heap.top().first;
     std::fill(row.begin(), row.end(), 0);
     while (!heap.empty() && heap.top().first == cur) {
       uint32_t s = heap.top().second;
@@ -100,7 +109,22 @@ int main(int argc, char** argv) {
   auto t1 = std::chrono::steady_clock::now();
   double secs = std::chrono::duration<double>(t1 - t0).count();
   // n_sig printed to stderr so the loop cannot be optimized away
-  std::fprintf(stderr, "distinct=%zu sig=%zu secs=%.3f\n", n_distinct, n_sig, secs);
+  std::fprintf(stderr, "distinct=%zu sig=%zu secs=%.3f words=%zu\n", n_distinct,
+               n_sig, secs, W);
   std::printf("%.1f\n", (double)n_distinct / secs);
   return 0;
+}
+
+int main(int argc, char** argv) {
+  const size_t n_per_sample = argc > 1 ? std::strtoull(argv[1], nullptr, 10) : (1ull << 20);
+  const size_t S = argc > 2 ? std::strtoull(argv[2], nullptr, 10) : 20;
+  const size_t W = argc > 3 ? std::strtoull(argv[3], nullptr, 10) : 1;
+  switch (W) {
+    case 1: return run<1>(n_per_sample, S);
+    case 2: return run<2>(n_per_sample, S);
+    case 4: return run<4>(n_per_sample, S);
+    default:
+      std::fprintf(stderr, "key_words must be 1, 2, or 4\n");
+      return 2;
+  }
 }

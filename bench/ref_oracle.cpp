@@ -40,6 +40,7 @@
 
 #include <algorithm>
 #include <array>
+#include <chrono>
 #include <cinttypes>
 #include <cmath>
 #include <cstdint>
@@ -49,6 +50,7 @@
 #include <fstream>
 #include <map>
 #include <queue>
+#include <random>
 #include <sstream>
 #include <string>
 #include <sys/stat.h>
@@ -590,7 +592,48 @@ std::string decode_kmer(const uint64_t* words, uint32_t k) {
 
 }  // namespace
 
+// Scalar popstrat corrector throughput (the reference's hot loop #2:
+// one glm_irls logistic fit + likelihood products PER significant k-mer,
+// popstrat.hpp:249-333) on a synthetic cohort — the single-core baseline
+// for bench.py's popstrat_vs_baseline ratio. Same design shape as
+// bench/config_probe.py's device measurement: [1 | PC1..npc | totals]
+// null features + the per-k-mer ratio column.
+static int popbench_main(int argc, char** argv) {
+  const size_t B = argc > 2 ? std::strtoull(argv[2], nullptr, 10) : 16384;
+  const size_t S = argc > 3 ? std::strtoull(argv[3], nullptr, 10) : 100;
+  const size_t npc = argc > 4 ? std::strtoull(argv[4], nullptr, 10) : 2;
+  std::mt19937_64 rng(42);
+  std::uniform_real_distribution<double> upc(-1.0, 1.0);
+  std::uniform_real_distribution<double> utot(9e5, 1.1e6);
+  std::uniform_int_distribution<uint64_t> ucnt(0, 50);
+
+  Mat Z(S, std::vector<double>(npc));
+  std::vector<double> totals(S);
+  for (size_t i = 0; i < S; ++i) {
+    for (size_t j = 0; j < npc; ++j) Z[i][j] = upc(rng);
+    totals[i] = utot(rng);
+  }
+  PopStrat ps;
+  ps.init(Z, npc, totals, S / 2);
+
+  std::vector<std::vector<uint64_t>> rows(B, std::vector<uint64_t>(S));
+  for (size_t b = 0; b < B; ++b)
+    for (size_t i = 0; i < S; ++i) rows[b][i] = ucnt(rng);
+
+  double acc = 0.0;
+  auto t0 = std::chrono::steady_clock::now();
+  for (size_t b = 0; b < B; ++b) acc += ps.correct(rows[b]);
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+  std::fprintf(stderr, "popbench B=%zu S=%zu npc=%zu acc=%.6f secs=%.3f\n",
+               B, S, npc, acc, secs);
+  std::printf("%.1f\n", (double)B / secs);
+  return 0;
+}
+
 int main(int argc, char** argv) {
+  if (argc >= 2 && std::string(argv[1]) == "popbench")
+    return popbench_main(argc, argv);
   if (argc != 8 && argc != 11) {
     std::fprintf(stderr,
                  "usage: %s run_dir out_dir nb_controls nb_cases alpha "

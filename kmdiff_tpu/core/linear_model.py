@@ -21,7 +21,11 @@ _G_FLOOR = 1e-305
 
 
 def sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # large |x| overflows exp to inf exactly like the reference's C++
+    # (linear_model.cpp:191-203, 1/(1+exp(-x)) in double); the result is a
+    # correct 0.0, so the warning is scoped out rather than "fixed"
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-x))
 
 
 def predict(model: np.ndarray, data: np.ndarray) -> float:

@@ -272,11 +272,14 @@ def _finalize_resident(stats_h, blob, counts, uvec, total_mass, hard_min,
 #: read, amortizing a tunnel's fixed per-transfer and per-read costs.
 #: Default OFF: an interleaved same-process A/B on the bench rig
 #: (bench/batch_ab.py, pairs 22.1/21.9, 22.2/19.9, 14.4/12.5 s) showed
-#: the grouped flow 1-15% SLOWER than per-sample dispatches — the
-#: thread-pool flow already overlaps the fixed costs across samples,
-#: while grouping serializes the host-side concat + post-processing.
-#: Kept opt-in for deployments where per-transfer cost dominates and
-#: sample threads are unavailable.
+#: the grouped flow 1-15% SLOWER than per-sample dispatches. Those pairs
+#: were measured against the round-3 pool-per-sample counting flow; the
+#: shipped flow is now cmd/run.py's WAVE loop (FASTA decode on the
+#: thread pool, uploads/dispatches/stats reads serial on the wave
+#: thread), and a fresh interleaved A/B against THAT flow
+#: (bench/batch_ab.py --wave) confirmed grouping is still not a win
+#: (see bench/README.md round-5 notes). Kept opt-in for deployments
+#: where per-transfer cost dominates.
 BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 1))
 
 
@@ -325,8 +328,13 @@ def count_samples_resident_batched(
     stack_stats = _get_stack_stats()
     for nlen, members in sorted(groups.items()):
         W = nlen - k + 1
-        for g in range(0, len(members), max(BATCH, 1)):
-            grp = members[g : g + BATCH]
+        # the traced slice offset j*nlen is int32: cap the group size so
+        # the last member's offset stays < 2^31 (past it the offset wraps
+        # negative, dynamic_slice clamps to 0, and later members would
+        # silently count the first member's data)
+        batch = min(BATCH, max(1, (2**31 - 1) // max(nlen, 1)))
+        for g in range(0, len(members), batch):
+            grp = members[g : g + batch]
             B = len(grp)
             buf = np.concatenate([chunked[i][0] for i in grp])
             buf_d = jnp.asarray(buf)

@@ -171,6 +171,69 @@ def test_pca_mesh_sharded_bit_identical():
     runtime.configure(None)
 
 
+def _explicit_normalized(geno: np.ndarray, is_diploid: bool) -> np.ndarray:
+    """The EIGENSTRAT-normalized matrix built the obvious dense way
+    (smartpca.c:1783-1795 fancynorm): row-centered 0/1 rows scaled by
+    1/sqrt(p(1-p)) — the matrix whose right singular vectors smartpca's
+    randomized PCA (kjg_fpca.c:27-118) computes. eigenstrat_pca never
+    materializes it (integer Gram decomposition), so this is an
+    independent construction."""
+    M, S = geno.shape
+    X = geno.astype(np.float64)
+    m = X.mean(axis=1)
+    p = 1.0 - np.sqrt(np.maximum(1.0 - m, 0.0)) if is_diploid else m
+    var = p * (1.0 - p)
+    s = np.where(var > 0.0, 1.0 / np.sqrt(np.maximum(var, 1e-30)), 1.0)
+    return s[:, None] * (X - m[:, None])
+
+
+@pytest.mark.parametrize("is_diploid", [True, False])
+def test_pca_subspace_matches_external_svd(is_diploid):
+    """External numeric oracle for the PCA itself: eigenstrat_pca's
+    top-npc PC subspace must coincide (principal angles < 1e-8) with the
+    top right-singular subspace of the explicitly normalized matrix as
+    computed by scipy's LAPACK SVD — and by sklearn's randomized SVD (the
+    same algorithm family as smartpca fastmode, kjg_fpca.c:27-60) when
+    sklearn is available. Subspace comparison, not bits: smartpca
+    fastmode is randomized, so only the subspace is well-defined."""
+    import scipy.linalg
+
+    from kmdiff_tpu.ops.pca import eigenstrat_pca
+
+    rng = np.random.default_rng(11)
+    S, M, npc = 24, 4000, 4
+    # structured cohort: clear spectral gap after the leading PCs
+    pop = np.repeat([0, 1], S // 2)
+    base = rng.uniform(0.2, 0.8, M)
+    shift = np.where(rng.random(M) < 0.5, 0.25, -0.25)
+    probs = np.clip(base[:, None] + shift[:, None] * pop[None, :], 0.02, 0.98)
+    geno = (rng.random((M, S)) < probs).astype(np.uint8)
+
+    Z, evals = eigenstrat_pca(geno, is_diploid=is_diploid, n_evec=npc)
+    Xn = _explicit_normalized(geno, is_diploid)
+
+    # guard: the comparison is only meaningful with a gap after npc
+    full = np.linalg.eigvalsh(Xn.T @ Xn / M)[::-1]
+    assert full[npc - 1] > full[npc] * (1 + 1e-6)
+
+    def principal_angle_cos(A, B):
+        # smallest cosine over principal angles of the two orthonormal bases
+        qa = np.linalg.qr(A)[0]
+        qb = np.linalg.qr(B)[0]
+        return np.linalg.svd(qa.T @ qb, compute_uv=False).min()
+
+    _, _, Vt = scipy.linalg.svd(Xn, full_matrices=False)
+    assert principal_angle_cos(Z, Vt[:npc].T) > 1 - 1e-8
+
+    try:
+        from sklearn.utils.extmath import randomized_svd
+    except ImportError:
+        return
+    _, _, Vr = randomized_svd(Xn, n_components=npc, n_iter=30,
+                              random_state=0)
+    assert principal_angle_cos(Z, Vr.T) > 1 - 1e-8
+
+
 # -- sampling -----------------------------------------------------------------
 
 def test_sample_mask_deterministic_and_rate():
