@@ -12,11 +12,14 @@ model's totals come from them), count files from background spill
 threads overlapping the merge — or not at all with --no-count-files.
 
 Outputs are byte-identical to `count` + `diff` (tests/test_fused.py).
-Any configuration the fused path cannot serve (multi-device mesh,
-multi-process --distributed, custom model plugins, resumed runs,
-device-memory pressure, degenerate key spaces) falls back to the
-standard two-stage flow automatically — `run` is always correct, fused
-when eligible.
+With a multi-device mesh the merge phase key-range-shards over the
+devices (pipeline.fused._make_sharded_fused_step: resident streams
+replicate over ICI, each device merges its own ascending key range —
+byte-identical to single-device). Any configuration the fused path
+cannot serve (multi-process --distributed, custom model plugins,
+resumed runs, device-memory pressure, degenerate key spaces) falls back
+to the standard two-stage flow automatically — `run` is always correct,
+fused when eligible.
 """
 
 from __future__ import annotations
@@ -73,7 +76,6 @@ def main_run(copt: CountOptions, dopt: DiffOptions,
     manifest = os.path.join(dopt.output_directory, "options.json")
     fused_ok = (
         not is_distributed()
-        and runtime.get_mesh() is None
         and not dopt.model_lib_path
         and os.environ.get("KMDIFF_NO_FUSED") != "1"
         and not os.path.exists(manifest)  # resumes take the standard flow
@@ -154,6 +156,18 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         else None
     )
     spill_futs = []
+    # when to run the background count-file spill relative to counting:
+    #   after-count (default) — queue spills during counting, submit them
+    #     once the wave loop finishes; they overlap the merge + correction
+    #     phases and the post-merge tail instead of the counting phase.
+    #     On sync-dispatch rigs a spill thread's D2H stream serializes
+    #     against the wave loop's uploads/dispatches on the same tunnel —
+    #     measured 216 s vs ~20 s counting phase in the round-4 driver
+    #     capture (bench/README.md round-5 A/B).
+    #   overlap — submit as each sample lands (round-3/4 behavior; right
+    #     for hosts whose D2H does not contend with dispatch).
+    spill_mode = os.environ.get("KMDIFF_SPILL_MODE", "after-count")
+    deferred_spills: list[tuple] = []
     hard_mins = [e.ab_min or copt.hard_min for e in fof.entries]
 
     def load_codes(i: int):
@@ -182,10 +196,11 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
             entry.id, st.n_distinct_pre, st.U, hard_mins[i],
         )
         if spill_pool is not None:
-            spill_futs.append(
-                spill_pool.submit(_spill_sample, run_dir, entry.id, i,
-                                  copt.kmer_size, nb_partitions, st)
-            )
+            job = (run_dir, entry.id, i, copt.kmer_size, nb_partitions, st)
+            if spill_mode == "overlap":
+                spill_futs.append(spill_pool.submit(_spill_sample, *job))
+            else:
+                deferred_spills.append(job)
 
     # waves bound the host-resident decoded codes (a whole cohort's raw
     # streams would be GBs at scale); device traffic batches WITHIN a
@@ -221,8 +236,12 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     )
     if resident > HBM_BUDGET:
         # streams already live; past-budget cohorts are served by the
-        # two-stage flow instead of risking device OOM mid-merge
+        # two-stage flow instead of risking device OOM mid-merge. Deferred
+        # spills flush first so the standard flow resumes from the
+        # complete run dir instead of recounting.
         if spill_pool is not None:
+            for job in deferred_spills:
+                spill_futs.append(spill_pool.submit(_spill_sample, *job))
             for f in spill_futs:
                 f.result()
             spill_pool.shutdown(wait=True)
@@ -230,6 +249,11 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
             f"resident streams {resident / 1e9:.1f} GB exceed "
             f"KMDIFF_FUSED_BYTES={HBM_BUDGET / 1e9:.1f} GB"
         )
+    if spill_pool is not None and deferred_spills:
+        # counting is off the tunnel now — start the background spill; it
+        # overlaps the merge + correction phases and is joined at the end
+        for job in deferred_spills:
+            spill_futs.append(spill_pool.submit(_spill_sample, *job))
 
     # ---- diff over resident streams ---------------------------------------
     from kmdiff_tpu.cmd.diff import _make_accumulators, do_correction

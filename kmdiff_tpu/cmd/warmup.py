@@ -133,14 +133,11 @@ def _warmup_fused(S, nb_controls, kmer_size, pop, rng, timer):
     two-stage shapes: the counting kernel WITH the device histogram
     (with_hist=True is a different XLA program — an extra sort + 258
     searchsorted ride the stats read), and the assemble+merge chunk
-    program at this cohort's production M (pipeline.fused). Single-device
-    only — the fused path is ineligible on a mesh."""
+    program at this cohort's production M (pipeline.fused). With a mesh
+    configured, fused_merge routes through the sharded assemble+merge
+    step, so the mesh program warms here too."""
     import jax.numpy as jnp
 
-    from kmdiff_tpu.parallel.runtime import get_mesh
-
-    if get_mesh() is not None:
-        return
     from kmdiff_tpu.core.model import PoissonLikelihood
     from kmdiff_tpu.io.accumulator import VectorAccumulator
     from kmdiff_tpu.ops.codec import n_lanes
@@ -199,4 +196,25 @@ def _warmup_fused(S, nb_controls, kmer_size, pop, rng, timer):
     )
     accs = [VectorAccumulator() for _ in range(4)]
     fused_merge(proc, accs, streams, kmer_size, 4, sampler=sampler, M=M)
+
+    # the grouped multi-chunk program (single-device packed mode): the
+    # warmup cohort merges in one chunk, so compile the W-chunk group
+    # program directly at the same shapes/budgets the dispatch uses
+    from kmdiff_tpu.parallel.runtime import get_mesh
+    from kmdiff_tpu.pipeline.fused import CHUNK_GROUP, _get_fused_group
+
+    if get_mesh() is None and CHUNK_GROUP > 1 and not pop:
+        max_hits, _mg = proc._budgets(S * M, False, 0.0)
+        np.asarray(_get_fused_group()(
+            tuple(s.blob for s in streams),
+            tuple(s.counts for s in streams),
+            jnp.zeros((CHUNK_GROUP, S), jnp.int32),
+            jnp.zeros((CHUNK_GROUP, S), jnp.int32),
+            jnp.float32(proc.params.ratio_c),
+            jnp.float32(proc.params.ratio_k),
+            jnp.float32(proc.params.lr_min),
+            jnp.uint32(0), jnp.uint32(0),
+            M=M, nb_controls=nb_controls, mode="p16",
+            max_hits=max_hits, W=CHUNK_GROUP, nb_samples=S,
+        ))
     logger.info("  fused-run kernels compiled (%s)", timer.formatted())

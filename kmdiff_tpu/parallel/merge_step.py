@@ -116,3 +116,35 @@ def put_row_sharded(mesh, arr):
     """Place a host array row-sharded on the mesh (leading dim divides D)."""
     spec = P(ROW_AXIS, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def gather_row_sharded(arr, D: int, budget: int, counts_per_dev):
+    """Fetch per-device survivor slots of a [D*budget, ...] row-sharded
+    output in ascending device (= ascending key-range) order, moving only
+    survivor-sized (pow2-bucketed) bytes per shard — no cross-device
+    gather, no full-pad D2H."""
+    import numpy as np
+
+    from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
+
+    # only genuinely row-sharded layouts qualify for the per-shard fast
+    # path: a replicated array also has D addressable shards, but each
+    # with index start=None and FULL length — taking its prefix would
+    # silently return the wrong rows
+    shards = sorted(
+        (s for s in arr.addressable_shards
+         if s.index[0].start is not None),
+        key=lambda s: s.index[0].start,
+    )
+    if len(shards) == D:
+        parts = [
+            fetch_prefix(shards[d].data, int(counts_per_dev[d]))
+            for d in range(D)
+        ]
+    else:  # unexpected layout (e.g. replicated): plain fetch
+        full = device_fetch(arr)
+        parts = [
+            full[d * budget : d * budget + int(counts_per_dev[d])]
+            for d in range(D)
+        ]
+    return np.concatenate(parts, axis=0)

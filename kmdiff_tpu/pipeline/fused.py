@@ -42,6 +42,7 @@ because the PCA Gram is an order-free exact integer decomposition
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 
@@ -466,6 +467,225 @@ def _get_fused_chunk():
     return _fused_chunk
 
 
+@functools.lru_cache(maxsize=64)
+def _make_sharded_fused_step(
+    mesh, S: int, M: int, nb_controls: int, mode: str, max_hits: int,
+    max_geno: int, want_geno: bool, want_rows: bool, wide: bool,
+):
+    """Mesh-sharded fused assemble+merge: D key-range chunks per program,
+    one per device. The resident stream blobs are REPLICATED over the mesh
+    (one ICI broadcast before the chunk loop — they never return to host),
+    each device dynamic-slices its own chunk's per-stream ranges and runs
+    the full merge+LRT kernel on them; ranges are independent (a k-mer
+    group never spans a chunk bound), so nothing is communicated between
+    devices — only survivor-sized row-sharded outputs leave. This is the
+    fused-flow twin of parallel.merge_step.make_sharded_merge_step (the
+    reference's partition parallelism, merge.hpp:237-317, applied to the
+    flagship path).
+
+    step(blobs (S x [P_s, L] u32 replicated), counts (S x [P_s] u32),
+         starts [D, S] i32 row-sharded, lens [D, S] i32, scalars...)
+    -> {"meta_d": [D, 3] i32 (n_distinct, n_hits, n_geno) per device —
+        ONE host read answers sync + overflow + totals;
+        "hit_blob": [D*max_hits, R] u32 row-sharded; "hit_rows"/
+        "geno_rows" row-sharded when requested}
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kmdiff_tpu.parallel.mesh import ROW_AXIS
+
+    def _local(blobs, counts, starts_d, lens_d, ratio_c, ratio_k, lr_min,
+               pca_thr, pca_seed):
+        out = _fused_chunk_impl(
+            blobs, counts, starts_d[0], lens_d[0], ratio_c, ratio_k,
+            lr_min, pca_thr, pca_seed, M, nb_controls, mode, max_hits,
+            max_geno, want_geno, S, want_rows, wide, False,
+        )
+        res = {
+            "meta_d": jnp.stack(
+                [out["n_distinct"], out["n_hits"], out["n_geno"]]
+            ).reshape(1, 3),
+            "hit_blob": out["hit_blob"],
+        }
+        if want_rows:
+            res["hit_rows"] = out["hit_rows"]
+        if want_geno:
+            res["geno_rows"] = out["geno_rows"]
+        return res
+
+    in_specs = (
+        (P(None, None),) * S,   # blobs: replicated
+        (P(None),) * S,         # counts: replicated
+        P(ROW_AXIS, None),      # starts: one chunk row per device
+        P(ROW_AXIS, None),      # lens
+        P(), P(), P(), P(), P(),
+    )
+    out_specs = {
+        "meta_d": P(ROW_AXIS, None),
+        "hit_blob": P(ROW_AXIS, None),
+    }
+    if want_rows:
+        out_specs["hit_rows"] = P(ROW_AXIS, None)
+    if want_geno:
+        out_specs["geno_rows"] = P(ROW_AXIS, None)
+    return jax.jit(shard_map(
+        _local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    ))
+
+
+#: key-range chunks fused into ONE single-device dispatch + ONE host read
+#: in the fused merge (packed mode). Each chunk embeds its meta as blob
+#: row 0 (meta_in_blob), so one contiguous [W*(1+max_hits), R] read
+#: answers sync + overflow + survivors for the whole group. Default OFF:
+#: an interleaved same-process A/B on the bench rig (bench/group_ab.py,
+#: three pairs: 2.04/2.08, 2.03/2.15, 2.01/2.14 s) measured W=4 at
+#: 0.94-0.98x of per-chunk dispatches — the per-chunk round trip is
+#: already amortized by the meta-in-blob single read, and the 4-sort
+#: program compiles 20x slower (79 s vs 4 s cold) with a slightly worse
+#: XLA schedule. Kept opt-in for rigs with >100 ms dispatch latency.
+CHUNK_GROUP = int(os.environ.get("KMDIFF_FUSED_CHUNK_GROUP", 1))
+
+
+def _fused_group_impl(
+    blobs, counts, starts_g, lens_g, ratio_c, ratio_k, lr_min, pca_thr,
+    pca_seed, M, nb_controls, mode, max_hits, W, nb_samples,
+):
+    """W assemble+merge chunks in ONE jitted program (packed mode only:
+    no geno/rows/wide outputs); chunk w's meta-in-blob hit blob lands at
+    rows [w*(1+max_hits), (w+1)*(1+max_hits))."""
+    import jax.numpy as jnp
+
+    parts = []
+    for w in range(W):
+        out = _fused_chunk_impl(
+            blobs, counts, starts_g[w], lens_g[w], ratio_c, ratio_k,
+            lr_min, pca_thr, pca_seed, M, nb_controls, mode, max_hits,
+            1, False, nb_samples, False, False, True,
+        )
+        parts.append(out["hit_blob"])
+    return jnp.concatenate(parts, axis=0)
+
+
+_fused_group = None
+
+
+def _get_fused_group():
+    global _fused_group
+    if _fused_group is None:
+        import jax
+
+        _fused_group = jax.jit(
+            _fused_group_impl,
+            static_argnames=(
+                "M", "nb_controls", "mode", "max_hits", "W", "nb_samples",
+            ),
+        )
+    return _fused_group
+
+
+def _fused_group_dispatch(
+    proc, blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min, pca_thr,
+    pca_seed, M, mode, S, L, W,
+):
+    """Dispatch one group of W key-range chunks in a single program and
+    read ONE blob; returns the standard disp tuple (survivors across the
+    group concatenate in ascending chunk = ascending k-mer order).
+    Overflow retries re-dispatch the whole group at the needed pow2."""
+    import numpy as np
+
+    max_hits, _mg = proc._budgets(S * M, False, 0.0)
+    kern = _get_fused_group()
+    t0 = time.perf_counter()
+    while True:
+        blob_all = np.asarray(kern(
+            blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min,
+            pca_thr, pca_seed, M=M, nb_controls=proc.nb_controls,
+            mode=mode, max_hits=max_hits, W=W, nb_samples=S,
+        ))
+        stride = 1 + max_hits
+        metas = blob_all[0::stride][:W, :3]
+        n_hits_w = metas[:, 1].astype(np.int64)
+        if int(n_hits_w.max()) <= max_hits:
+            break
+        max_hits = min(
+            S * M, 1 << max(int(n_hits_w.max()) - 1, 1).bit_length()
+        )
+    n_distinct = int(metas[:, 0].sum())
+    proc.phases.add("device", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    blob = np.concatenate([
+        blob_all[w * stride + 1 : w * stride + 1 + int(n_hits_w[w])]
+        for w in range(W)
+    ])
+    hit_lanes, s_c, s_k = proc._unpack_blob(blob, L, False)
+    proc.phases.add("fetch", time.perf_counter() - t0)
+    return n_distinct, s_c, s_k, hit_lanes, None, None
+
+
+def _fused_mesh_dispatch(
+    proc, mesh, blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min,
+    pca_thr, pca_seed, M, mode, want_geno, want_rows, wide, S, L, sampler,
+):
+    """Dispatch one group of D key-range chunks over the mesh and fetch the
+    survivors in ascending device (= ascending k-mer range) order; returns
+    the same disp tuple as PartitionProcessor._dispatch_single so the
+    shared post-processing (exact f64 rescore, routing, sampler) is
+    identical. Overflow retries re-parameterize the per-device compaction
+    budgets exactly like the single-device path."""
+    import numpy as np
+
+    from kmdiff_tpu.parallel.merge_step import gather_row_sharded
+
+    D = mesh.devices.size
+    geno_rate = getattr(sampler, "rate", 0.0) if want_geno else 0.0
+    max_hits, max_geno = proc._budgets(S * M, want_geno, geno_rate)
+    cap = S * M
+    t0 = time.perf_counter()
+    while True:
+        step = _make_sharded_fused_step(
+            mesh, S, M, proc.nb_controls, mode, max_hits, max_geno,
+            want_geno, want_rows, wide,
+        )
+        out = step(
+            blobs, counts_t, st_g, ln_g,
+            ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+        )
+        meta_d = np.asarray(out["meta_d"])  # [D, 3]: ONE read per group
+        n_hits_d = meta_d[:, 1]
+        n_geno_d = meta_d[:, 2] if want_geno else None
+        if int(n_hits_d.max()) <= max_hits and (
+            not want_geno or int(n_geno_d.max()) <= max_geno
+        ):
+            break
+        max_hits = min(cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length())
+        if want_geno:
+            max_geno = min(
+                cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()
+            )
+    n_distinct = int(meta_d[:, 0].sum())
+    proc.phases.add("device", time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    blob = gather_row_sharded(out["hit_blob"], D, max_hits, n_hits_d)
+    hit_lanes, s_c, s_k = proc._unpack_blob(blob, L, wide)
+    rows_all = (
+        gather_row_sharded(out["hit_rows"], D, max_hits, n_hits_d)
+        if want_rows else None
+    )
+    geno_rows = (
+        gather_row_sharded(out["geno_rows"], D, max_geno, n_geno_d)
+        if want_geno else None
+    )
+    proc.phases.add("fetch", time.perf_counter() - t0)
+    return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
+
+
 class _RoutingAccumulator:
     """Fans survivor blocks out to the per-partition accumulators by the
     same k-mer hash the counting repartition uses — chunks arrive in
@@ -607,7 +827,11 @@ def fused_merge(
     import jax.numpy as jnp
 
     from kmdiff_tpu.ops.merge_dev import pca_threshold_u32
+    from kmdiff_tpu.parallel.runtime import get_mesh
     from kmdiff_tpu.pipeline.merge import _ChunkSamplerShim
+
+    mesh = get_mesh()
+    D = mesh.devices.size if mesh is not None else 1
 
     # clamp-free dynamic_slice needs blob capacity >= U + M per stream;
     # streams counted with a smaller slack cap M down to what they allow
@@ -657,6 +881,12 @@ def fused_merge(
             -(-total_rows // target),
             -(-(max_U * 8) // max(7 * M, 1)),
         )
+        if D > 1:
+            # at least one chunk per device, in device-count multiples so
+            # every sharded dispatch keeps the whole mesh busy (quantile
+            # ties can still drop bounds; the pad below restores the
+            # multiple with empty chunks)
+            n_chunks = -(-n_chunks // D) * D
         for _attempt in range(6):
             if n_chunks == 1:
                 starts = np.zeros((1, S), np.int32)
@@ -709,27 +939,99 @@ def fused_merge(
     total = nsign = n_ctrl = n_case = 0
     t0 = time.perf_counter()
     racc = _RoutingAccumulator(accumulators, nb_partitions)
-    for c in range(starts.shape[0]):
-        st_d = jnp.asarray(starts[c])
-        ln_d = jnp.asarray(lens[c])
+    group = 1
+    if mesh is not None:
+        # replicate the resident streams over the mesh ONCE (device-side
+        # broadcast; nothing returns to host) and pad the chunk table to a
+        # device-count multiple with empty chunks (lens 0 -> all-sentinel
+        # buffers, zero distinct rows)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as JP
 
-        def dispatch(max_hits, max_geno, mblob=False, st_d=st_d, ln_d=ln_d):
-            return fused_kernel(
-                blobs, counts_t, st_d, ln_d,
-                ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
-                M=M, nb_controls=processor.nb_controls, mode=mode,
-                max_hits=max_hits, max_geno=max_geno, want_geno=want_geno,
-                nb_samples=S, want_rows=want_rows, wide=wide, mblob=mblob,
+        rep = NamedSharding(mesh, JP())
+        blobs = tuple(jax.device_put(b, rep) for b in blobs)
+        counts_t = tuple(jax.device_put(c, rep) for c in counts_t)
+        if starts.shape[0] % D:
+            padn = D - starts.shape[0] % D
+            starts = np.concatenate(
+                [starts, np.zeros((padn, S), starts.dtype)]
             )
+            lens = np.concatenate([lens, np.zeros((padn, S), lens.dtype)])
+    elif packed and CHUNK_GROUP > 1 and starts.shape[0] > 1:
+        # single-device packed mode: fuse CHUNK_GROUP chunks per dispatch
+        # (one program, one host read — the per-chunk sync round trip was
+        # most of the merge phase on tunnel rigs). Tail pads with empty
+        # chunks so exactly one program shape compiles.
+        group = min(CHUNK_GROUP, starts.shape[0])
+        if starts.shape[0] % group:
+            padn = group - starts.shape[0] % group
+            starts = np.concatenate(
+                [starts, np.zeros((padn, S), starts.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros((padn, S), lens.dtype)])
+    step_n = D if mesh is not None else group
+    for c in range(0, starts.shape[0], step_n):
+        if mesh is not None:
+            st_g = starts[c : c + D].astype(np.int32)
+            ln_g = lens[c : c + D].astype(np.int32)
 
-        pre = {
-            "dispatch_fn": dispatch,
-            "n_lanes": L,
-            "pad_to": S * M,
-            "packed": packed,
-            "range_rows": 0,
-            "build_s": 0.0,
-        }
+            def mesh_dispatch(proc, sampler_, st_g=st_g, ln_g=ln_g):
+                return _fused_mesh_dispatch(
+                    proc, mesh, blobs, counts_t, st_g, ln_g,
+                    ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+                    M, mode, want_geno, want_rows, wide, S, L, sampler_,
+                )
+
+            pre = {
+                "dispatch_override": mesh_dispatch,
+                "n_lanes": L,
+                "pad_to": S * M,
+                "packed": packed,
+                "range_rows": 0,
+                "build_s": 0.0,
+            }
+        elif group > 1:
+            st_g = jnp.asarray(starts[c : c + group])
+            ln_g = jnp.asarray(lens[c : c + group])
+
+            def group_dispatch(proc, sampler_, st_g=st_g, ln_g=ln_g):
+                return _fused_group_dispatch(
+                    proc, blobs, counts_t, st_g, ln_g,
+                    ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+                    M, mode, S, L, group,
+                )
+
+            pre = {
+                "dispatch_override": group_dispatch,
+                "n_lanes": L,
+                "pad_to": S * M,
+                "packed": packed,
+                "range_rows": 0,
+                "build_s": 0.0,
+            }
+        else:
+            st_d = jnp.asarray(starts[c])
+            ln_d = jnp.asarray(lens[c])
+
+            def dispatch(max_hits, max_geno, mblob=False,
+                         st_d=st_d, ln_d=ln_d):
+                return fused_kernel(
+                    blobs, counts_t, st_d, ln_d,
+                    ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
+                    M=M, nb_controls=processor.nb_controls, mode=mode,
+                    max_hits=max_hits, max_geno=max_geno,
+                    want_geno=want_geno, nb_samples=S, want_rows=want_rows,
+                    wide=wide, mblob=mblob,
+                )
+
+            pre = {
+                "dispatch_fn": dispatch,
+                "n_lanes": L,
+                "pad_to": S * M,
+                "packed": packed,
+                "range_rows": 0,
+                "build_s": 0.0,
+            }
         res = processor._device_merge_chunk(
             0, [None] * S, [None] * S, racc, ksize, finish=False,
             sampler_override=shim, matrix_sink=matrix_sink, prebuilt=pre,

@@ -590,7 +590,12 @@ class PartitionProcessor:
         wide = self.params.wide_sums
 
         mesh = get_mesh()
-        if mesh is not None:
+        if prebuilt is not None and "dispatch_override" in prebuilt:
+            # the fused pipeline's sharded assemble+merge dispatch
+            # (pipeline.fused): D key-range chunks per program, one per
+            # device; returns the same disp tuple as the paths below
+            disp = prebuilt["dispatch_override"](self, sampler)
+        elif mesh is not None:
             disp = self._dispatch_mesh(
                 mesh, kmers_list, counts_list, sampler, want_geno, want_rows,
                 wide,
@@ -972,34 +977,13 @@ class PartitionProcessor:
         self.phases.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
 
-        # gather per-device survivor slots in ascending range order. Each
-        # slot region [d*budget, (d+1)*budget) is exactly device d's shard,
-        # so per-shard prefix fetches move only survivor-sized (pow2-
-        # bucketed) bytes — no cross-device gather, no full-pad D2H.
-        from kmdiff_tpu.utils.transfer import device_fetch, fetch_prefix
+        # gather per-device survivor slots in ascending range order
+        # (parallel.merge_step.gather_row_sharded: per-shard prefix
+        # fetches, survivor-sized bytes only)
+        from kmdiff_tpu.parallel.merge_step import gather_row_sharded
 
         def gather(arr, budget, counts_per_dev):
-            # only genuinely row-sharded layouts qualify for the per-shard
-            # fast path: a replicated array also has D addressable shards,
-            # but each with index start=None and FULL length — taking its
-            # prefix would silently return the wrong rows
-            shards = sorted(
-                (s for s in arr.addressable_shards
-                 if s.index[0].start is not None),
-                key=lambda s: s.index[0].start,
-            )
-            if len(shards) == D:
-                parts = [
-                    fetch_prefix(shards[d].data, int(counts_per_dev[d]))
-                    for d in range(D)
-                ]
-            else:  # unexpected layout (e.g. replicated): plain fetch
-                full = device_fetch(arr)
-                parts = [
-                    full[d * budget : d * budget + int(counts_per_dev[d])]
-                    for d in range(D)
-                ]
-            return np.concatenate(parts, axis=0)
+            return gather_row_sharded(arr, D, budget, counts_per_dev)
 
         blob = gather(out["hit_blob"], max_hits, n_hits_d)
         hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)

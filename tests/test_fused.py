@@ -84,7 +84,10 @@ def _no_fallback(monkeypatch):
 
 
 def _run_both(cohort, tmp_path, monkeypatch, copt_kw=None, dopt_kw=None,
-              count_files=True, expect_fused=True):
+              count_files=True, expect_fused=True, std_devices=None):
+    """std_devices: device count for the comparison two-stage flow (None =
+    same opts as the fused run) — the mesh tests pin mesh-fused against
+    the SINGLE-device two-stage flow directly."""
     fof, nc, nk = cohort
     if expect_fused:
         _no_fallback(monkeypatch)
@@ -94,10 +97,14 @@ def _run_both(cohort, tmp_path, monkeypatch, copt_kw=None, dopt_kw=None,
                **(dopt_kw or {})),
         count_files=count_files,
     )
-    main_count(_copts(fof, tmp_path / "kc_s", **(copt_kw or {})))
+    std_c = dict(copt_kw or {})
+    std_d = dict(dopt_kw or {})
+    if std_devices is not None:
+        std_c["n_devices"] = std_devices
+        std_d["n_devices"] = std_devices
+    main_count(_copts(fof, tmp_path / "kc_s", **std_c))
     res_s = main_diff(
-        _dopts(tmp_path / "kc_s", tmp_path / "out_s", nc, nk,
-               **(dopt_kw or {}))
+        _dopts(tmp_path / "kc_s", tmp_path / "out_s", nc, nk, **std_d)
     )
     assert res_f == res_s
     for name in ("control_kmers.fasta", "case_kmers.fasta"):
@@ -369,16 +376,40 @@ def test_fused_small_k_degenerate_hi_lane(cohort, tmp_path, monkeypatch):
     assert res["total_kmers"] > 0
 
 
-def test_run_falls_back_on_mesh(cohort, tmp_path):
-    """n_devices=0 resolves the 8-device test mesh; `run` must serve the
-    cohort through the standard flow and still produce correct output."""
-    fof, nc, nk = cohort
-    res = main_run(
-        _copts(fof, tmp_path / "kc", n_devices=0),
-        _dopts(tmp_path / "kc", tmp_path / "out", nc, nk, n_devices=0),
+def test_run_fused_on_mesh(cohort, tmp_path, monkeypatch):
+    """n_devices=0 resolves the 8-device test mesh; the fused path now
+    serves it directly (key-range chunks sharded one-per-device over the
+    mesh, streams replicated) and the outputs — FASTA sets AND the spilled
+    run dir — must be byte-identical to the single-device two-stage flow."""
+    res = _run_both(cohort, tmp_path, monkeypatch,
+                    copt_kw=dict(n_devices=0), dopt_kw=dict(n_devices=0),
+                    std_devices=1)
+    assert res["total_kmers"] > 0
+    assert res["control"] + res["case"] > 0
+    for p in range(4):
+        pdir_f = tmp_path / "kc_f" / "counts" / f"partition_{p}"
+        pdir_s = tmp_path / "kc_s" / "counts" / f"partition_{p}"
+        for n in sorted(os.listdir(pdir_s)):
+            assert (pdir_f / n).read_bytes() == (pdir_s / n).read_bytes()
+
+
+def test_run_fused_on_mesh_popstrat_tiny_chunks(cohort, tmp_path,
+                                                monkeypatch):
+    """Mesh-fused with popstrat (geno sampling through the sharded kernel)
+    AND a forced tiny chunk budget so several sharded dispatches run,
+    including a padded final group — byte-identical to the single-device
+    two-stage flow."""
+    import kmdiff_tpu.pipeline.fused as fmod
+
+    monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 9)
+    res = _run_both(
+        cohort, tmp_path, monkeypatch,
+        copt_kw=dict(n_devices=0),
+        dopt_kw=dict(n_devices=0, pop_correction=True, kmer_pca=0.05,
+                     npc=2, max_iteration=50),
+        std_devices=1,
     )
     assert res["total_kmers"] > 0
-    assert (tmp_path / "out" / "control_kmers.fasta").exists()
 
 
 def test_run_resumes_via_standard_flow(cohort, tmp_path, monkeypatch):
