@@ -111,6 +111,7 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     from kmdiff_tpu.pipeline.fused import (
         HBM_BUDGET,
         FusedFallback,
+        GroupReducer,
         count_samples_resident_batched,
         fused_chunk_rows,
         fused_merge,
@@ -170,6 +171,23 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     deferred_spills: list[tuple] = []
     hard_mins = [e.ab_min or copt.hard_min for e in fof.entries]
 
+    # group pre-aggregation (pipeline.fused.GroupReducer): when the merge
+    # will take the packed path (no popstrat/save-sk), controls and cases
+    # dedup-sum to ONE stream each on a background thread DURING counting
+    # (the count loop is upload-latency-bound; dedup dispatches fill the
+    # idle device) — the final merge then sorts ~2 rows per distinct
+    # k-mer instead of one per carrying sample, cutting its device time
+    # by the cohort's duplication factor. Exact integer sums: outputs
+    # byte-identical.
+    reducer = (
+        GroupReducer(dopt.nb_controls, dopt.nb_cases)
+        if (os.environ.get("KMDIFF_GROUP_MERGE", "1") != "0"
+            and not dopt.pop_correction
+            and not dopt.save_sk
+            and dopt.nb_controls >= 1 and dopt.nb_cases >= 1)
+        else None
+    )
+
     def load_codes(i: int):
         entry = fof.entries[i]
         paths = [
@@ -201,6 +219,8 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
                 spill_futs.append(spill_pool.submit(_spill_sample, *job))
             else:
                 deferred_spills.append(job)
+        if reducer is not None:
+            reducer.add(i, st)
 
     # waves bound the host-resident decoded codes (a whole cohort's raw
     # streams would be GBs at scale); device traffic batches WITHIN a
@@ -228,6 +248,8 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     resident = sum(
         st.blob.shape[0] * (4 * st.blob.shape[1] + 4) for st in streams
     )
+    if reducer is not None:
+        resident += reducer.resident_bytes()
     if timings is not None:
         timings["count"] = count_timer.elapsed()
     logger.info(
@@ -239,6 +261,8 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         # two-stage flow instead of risking device OOM mid-merge. Deferred
         # spills flush first so the standard flow resumes from the
         # complete run dir instead of recounting.
+        if reducer is not None:
+            reducer.close()
         if spill_pool is not None:
             for job in deferred_spills:
                 spill_futs.append(spill_pool.submit(_spill_sample, *job))
@@ -314,13 +338,39 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
 
     merge_timer = Timer()
     logger.info("Process resident streams")
+    # pick the merge input: the reducer's 2 group streams when available
+    # (u32 group sums stay exact only while cohort mass fits — the same
+    # wide-sums bound the packed kernel has), else the per-sample streams
+    merge_streams, merge_M, nb_ctrl_streams = streams, chunk_rows, None
+    if reducer is not None and processor.params.wide_sums:
+        reducer.close()
+        reducer = None
+    if reducer is not None:
+        group_streams = reducer.result()
+        if group_streams is not None:
+            merge_streams = group_streams
+            merge_M = None  # sized for S=2 by fused_merge
+            nb_ctrl_streams = 1
+            logger.info(
+                "Group-summed streams: %d + %d distinct "
+                "(controls + cases).",
+                group_streams[0].U, group_streams[1].U,
+            )
+        elif reducer.failed:
+            logger.info(
+                "group pre-aggregation unavailable (%s); merging "
+                "per-sample streams.", reducer.failed,
+            )
     total_kmers, nb_sign, sign_controls, sign_cases = fused_merge(
-        processor, accumulators, streams, copt.kmer_size, nb_partitions,
-        sampler=sampler, save_matrix_dir=save_dir, M=chunk_rows,
+        processor, accumulators, merge_streams, copt.kmer_size,
+        nb_partitions, sampler=sampler, save_matrix_dir=save_dir,
+        M=merge_M, nb_ctrl_streams=nb_ctrl_streams,
     )
+    del merge_streams
     if sampler is not None:
         sampler.close()
     del streams  # release device memory before popstrat kernels
+    reducer = None  # and the group partials
     dopt.total_kmers = total_kmers
     if timings is not None:
         timings["merge"] = merge_timer.elapsed()

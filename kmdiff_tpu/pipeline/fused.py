@@ -406,6 +406,8 @@ def _assemble_chunk_impl(blobs, counts, starts, lens, M, nb_controls, mode):
             if s < nb_controls:
                 ci = ci | jnp.int32(-0x80000000)
             cp = jnp.where(v, ci, jnp.int32(0))
+        elif mode == "dedup":  # group pre-aggregation: raw u32 weights
+            cp = jnp.where(v, c, jnp.uint32(0))
         else:  # full: sample ids + raw counts (geno/rows/wide paths)
             cp = jnp.where(
                 v, jax.lax.bitcast_convert_type(c, jnp.int32), jnp.int32(0)
@@ -592,7 +594,7 @@ def _get_fused_group():
 
 def _fused_group_dispatch(
     proc, blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min, pca_thr,
-    pca_seed, M, mode, S, L, W,
+    pca_seed, M, mode, S, L, W, nbc,
 ):
     """Dispatch one group of W key-range chunks in a single program and
     read ONE blob; returns the standard disp tuple (survivors across the
@@ -606,7 +608,7 @@ def _fused_group_dispatch(
     while True:
         blob_all = np.asarray(kern(
             blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min,
-            pca_thr, pca_seed, M=M, nb_controls=proc.nb_controls,
+            pca_thr, pca_seed, M=M, nb_controls=nbc,
             mode=mode, max_hits=max_hits, W=W, nb_samples=S,
         ))
         stride = 1 + max_hits
@@ -632,6 +634,7 @@ def _fused_group_dispatch(
 def _fused_mesh_dispatch(
     proc, mesh, blobs, counts_t, st_g, ln_g, ratio_c, ratio_k, lr_min,
     pca_thr, pca_seed, M, mode, want_geno, want_rows, wide, S, L, sampler,
+    nbc,
 ):
     """Dispatch one group of D key-range chunks over the mesh and fetch the
     survivors in ascending device (= ascending k-mer range) order; returns
@@ -650,7 +653,7 @@ def _fused_mesh_dispatch(
     t0 = time.perf_counter()
     while True:
         step = _make_sharded_fused_step(
-            mesh, S, M, proc.nb_controls, mode, max_hits, max_geno,
+            mesh, S, M, nbc, mode, max_hits, max_geno,
             want_geno, want_rows, wide,
         )
         out = step(
@@ -808,6 +811,344 @@ def _pick_split_lane(streams, L: int) -> int:
     return L  # a single distinct k-mer cohort: no split lane needed
 
 
+def plan_key_chunks(streams, M: int, D: int = 1):
+    """Split the streams' shared key space into ascending ranges whose
+    per-stream extents all fit M rows: pooled subsampled keys -> quantile
+    bounds on the split lane -> exact per-stream positions via ONE
+    batched device searchsorted. Chunks target 7/8-full S*M buffers (the
+    kernel sorts the whole buffer including sentinel fill, so fill ratio
+    IS sort efficiency); the per-stream-extent seed term covers skewed
+    cohorts in the first attempt. With D > 1, the chunk count rounds to
+    device-count multiples so every sharded dispatch keeps the mesh busy.
+
+    Returns (starts [C, S] i32, lens [C, S] i32); raises FusedFallback
+    when no split serves the budget."""
+    import jax.numpy as jnp
+
+    S = len(streams)
+    L = streams[0].blob.shape[1]
+    split = _pick_split_lane(streams, L)
+    total_rows = sum(s.U for s in streams)
+    max_U = max(s.U for s in streams)
+    Us = np.array([s.U for s in streams], np.int64)
+    blobs = tuple(s.blob for s in streams)
+    if split >= L:
+        starts = np.zeros((1, S), np.int32)
+        lens = np.array([[s.U for s in streams]], np.int32)
+        if max_U > M:
+            raise FusedFallback("degenerate key space exceeds chunk budget")
+        return starts, lens
+    _, bounds_pos, subsample_split = _get_batched_helpers()
+    sub_all = np.asarray(subsample_split(blobs, split=split))
+    pool = sub_all[sub_all != 0xFFFFFFFF]
+    if pool.size == 0:
+        pool = np.zeros(1, np.uint32)
+    target = max(1, (S * M * 7) // 8)
+    n_chunks = max(
+        1,
+        -(-total_rows // target),
+        -(-(max_U * 8) // max(7 * M, 1)),
+    )
+    if D > 1:
+        n_chunks = -(-n_chunks // D) * D
+    for _attempt in range(6):
+        if n_chunks == 1:
+            starts = np.zeros((1, S), np.int32)
+            lens = np.array([[s.U for s in streams]], np.int32)
+            if int(lens.max()) <= M:
+                return starts, lens
+            n_chunks = 2
+            continue
+        qs = np.quantile(pool, np.linspace(0, 1, n_chunks + 1)[1:-1])
+        bounds = np.unique(qs.astype(np.uint64).astype(np.uint32))
+        # pad the query to a pow2 bucket (bounded compiled-shape set);
+        # sentinel queries land past every real key and are sliced off
+        B = len(bounds)
+        Bp = 1 << max(4, (max(B, 1) - 1).bit_length())
+        bd = np.full(Bp, 0xFFFFFFFF, np.uint32)
+        bd[:B] = bounds
+        pos_all = np.asarray(
+            bounds_pos(blobs, jnp.asarray(bd), split=split)
+        )[:B]
+        pos = np.minimum(pos_all.astype(np.int64), Us[None, :])
+        ends = np.concatenate([pos, Us[None, :]], axis=0)
+        starts = np.concatenate(
+            [np.zeros((1, S), np.int64), pos], axis=0
+        ).astype(np.int32)
+        lens = (ends - starts).astype(np.int32)
+        if int(lens.max()) <= M:
+            return starts, lens
+        n_chunks *= 2
+    raise FusedFallback(
+        f"key-range split failed (max extent {int(lens.max())} > "
+        f"chunk budget {M})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# group pre-aggregation: controls/cases dedup-sum to ONE stream per group
+# ---------------------------------------------------------------------------
+
+def _dedup_append_impl(group_blob, group_counts, blobs, counts, starts,
+                       lens, off, M):
+    """One chunked group-dedup step in ONE program: assemble the chunk's
+    per-stream slices (raw u32 weights), dedup-sum identical lane tuples,
+    and append the compacted result into the group blob at traced offset
+    `off` (donated buffers — in-place on TPU). The write spans the full
+    padded chunk; its sentinel overhang is overwritten by the next
+    chunk's append (ascending offsets), and the final overhang is
+    sentinel rows, which IS the group blob's pad contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import dedup_sum_lanes
+
+    lanes, _smp, w = _assemble_chunk_impl(
+        blobs, counts, starts, lens, M, 0, "dedup"
+    )
+    stats, blob, cnt = dedup_sum_lanes(lanes, w, lanes[0].shape[0])
+    gb = jax.lax.dynamic_update_slice(group_blob, blob, (off, jnp.int32(0)))
+    gc = jax.lax.dynamic_update_slice(group_counts, cnt, (off,))
+    return stats, gb, gc
+
+
+_dedup_append = None
+
+
+def _get_dedup_append():
+    global _dedup_append
+    if _dedup_append is None:
+        import jax
+
+        _dedup_append = jax.jit(
+            _dedup_append_impl, static_argnames=("M",),
+            donate_argnums=(0, 1),
+        )
+    return _dedup_append
+
+
+def _reduce_streams_once(streams: list[ResidentStream]) -> ResidentStream:
+    """Dedup-sum a list of sorted counted streams into ONE stream (exact
+    u32 integer sums — byte-identical group sums at any reduction order).
+    Single dispatch when the concatenated rows fit the sort ceiling;
+    key-range chunked with in-place appends otherwise. Histogram fields
+    of the result are dummies (group streams only feed the merge)."""
+    import jax.numpy as jnp
+
+    from kmdiff_tpu.ops.codec import dedup_sum_lanes
+
+    L = streams[0].blob.shape[1]
+    # quarter-pow2 cuts keep the concat SHAPE on the bucket ladder (the
+    # deterministic bracket pairing then makes every reduction's shape a
+    # pure function of the cohort's size buckets, so the persistent XLA
+    # cache serves them; arrival-order pairing produced fresh shapes —
+    # and 30-90 s recompiles — every run). Sentinel rows past U carry
+    # weight 0 and sort last: bounded fill, never wrong.
+    cuts = [min(_q4(s.U), s.blob.shape[0]) for s in streams]
+    N = sum(cuts)
+    if N <= SORT_CEILING:
+        cat_lanes = tuple(
+            jnp.concatenate([s.blob[:c, i] for s, c in zip(streams, cuts)])
+            for i in range(L)
+        )
+        cat_w = jnp.concatenate(
+            [s.counts[:c] for s, c in zip(streams, cuts)]
+        )
+        # output capacity: bucket-shaped, with slack past U guaranteed
+        # even for fully-disjoint inputs (U = N) — later rounds and the
+        # final merge dynamic-slice [st : st+M) windows from it
+        P = _q4(N + max(256, N // 8), lo=1 << 14)
+        padl = jnp.full(P - N, 0xFFFFFFFF, jnp.uint32)
+        cat_lanes = tuple(jnp.concatenate([l, padl]) for l in cat_lanes)
+        cat_w = jnp.concatenate([cat_w, jnp.zeros(P - N, jnp.uint32)])
+        stats, blob, cnt = dedup_sum_lanes(cat_lanes, cat_w, P)
+        st = np.asarray(stats)
+        return ResidentStream(
+            blob, cnt, int(st[0]), int(st[1]),
+            np.zeros(257, np.int32), 0, 0,
+        )
+
+    # chunked: ascending key ranges appended in place
+    S = len(streams)
+    Md = min(1 << 22, _q4_floor(SORT_CEILING // S))
+    cap_slack = min(s.blob.shape[0] - s.U for s in streams)
+    if cap_slack < Md:
+        Md = _q4_floor(cap_slack)
+        if Md < 1 << 9:
+            raise FusedFallback("group streams leave no chunk slack")
+    starts, lens = plan_key_chunks(streams, Md)
+    chunk_rows = S * Md
+    cap = _q4(sum(s.U for s in streams) + chunk_rows)
+    group_blob = jnp.full((cap, L), 0xFFFFFFFF, jnp.uint32)
+    group_counts = jnp.zeros(cap, jnp.uint32)
+    blobs = tuple(s.blob for s in streams)
+    counts_t = tuple(s.counts for s in streams)
+    append = _get_dedup_append()
+    U = 0
+    mx = 0
+    for c in range(starts.shape[0]):
+        stats, group_blob, group_counts = append(
+            group_blob, group_counts, blobs, counts_t,
+            jnp.asarray(starts[c]), jnp.asarray(lens[c]),
+            jnp.int32(U), M=Md,
+        )
+        st = np.asarray(stats)
+        U += int(st[0])
+        mx = max(mx, int(st[1]))
+    return ResidentStream(
+        group_blob, group_counts, U, mx, np.zeros(257, np.int32), 0, 0,
+    )
+
+
+class GroupReducer:
+    """Incrementally folds per-sample resident streams into one summed
+    stream per cohort group (controls / cases) — the packed merge's LRT
+    consumes only per-group sums (model.hpp:145-146), so pre-aggregating
+    S streams to 2 cuts the final merge's sorted rows by the cohort's
+    duplication factor (measured 1.88 s -> 0.53 s merge phase on the
+    bench cohort, bench/groupmerge_ab.py).
+
+    The reduction runs on a BACKGROUND thread concurrently with the
+    counting loop: the count phase on tunnel rigs is upload/dispatch-
+    latency-bound with the device ~70% idle, and dedup dispatches from a
+    second thread fill that idle time (a synchronous between-waves drain
+    measured as pure serial addition — bench/groupmerge_ab.py round-5
+    A/B). Pairing policy is smallest-two-first (Huffman), which both
+    minimizes total reduced rows and keeps pair sizes under the sort
+    ceiling's single-dispatch path (no planning dispatches, no appends)
+    for typical cohorts.
+
+    Exactness: group sums are u32 integer additions — associative, so
+    any reduction order yields byte-identical sums (and the final merge's
+    survivor set/order matches the per-sample path's: same union, same
+    per-group sums, same ascending key order)."""
+
+    def __init__(self, nb_controls: int, nb_cases: int):
+        import threading
+
+        self.nb_controls = nb_controls
+        # deterministic bracket: leaf p pairs with its index sibling at
+        # every level ((l, 2p) + (l, 2p+1) -> (l+1, p); odd tails promote
+        # as byes). Pairing by ARRIVAL order instead made the reduction
+        # tree — and with it every concat shape — depend on thread
+        # timing, defeating the persistent XLA cache (measured 30-90 s
+        # recompiles per run, bench/groupmerge_ab.py round-5 notes).
+        self._sizes: dict[bool, list[int]] = {}
+        for g, n in ((True, nb_controls), (False, nb_cases)):
+            sizes = [n]
+            while sizes[-1] > 1:
+                sizes.append((sizes[-1] + 1) // 2)
+            self._sizes[g] = sizes
+        self._ready: dict[bool, dict[tuple[int, int], ResidentStream]] = {
+            True: {}, False: {},
+        }
+        self._done = False
+        self.failed: str | None = None
+        self._cv = threading.Condition()
+        self._worker = threading.Thread(
+            target=self._run, name="kmdiff-group-reduce", daemon=True
+        )
+        self._worker.start()
+
+    def _settle(self, g: bool, node: tuple[int, int]) -> None:
+        """Promote byes: a node whose sibling slot does not exist at its
+        level moves up unchanged (holds the lock)."""
+        sizes = self._sizes[g]
+        lvl, p = node
+        while lvl + 1 < len(sizes) and p == sizes[lvl] - 1 and p % 2 == 0:
+            st = self._ready[g].pop((lvl, p))
+            lvl, p = lvl + 1, p // 2
+            self._ready[g][(lvl, p)] = st
+
+    def add(self, i: int, stream: ResidentStream) -> None:
+        with self._cv:
+            if self.failed:
+                return
+            g = i < self.nb_controls
+            p = i if g else i - self.nb_controls
+            self._ready[g][(0, p)] = stream
+            self._settle(g, (0, p))
+            self._cv.notify()
+
+    def _pop_pair(self):
+        """A deterministic-bracket pair whose two siblings are ready."""
+        for g in (True, False):
+            ready = self._ready[g]
+            for (lvl, p) in sorted(ready):
+                if p % 2 == 0 and (lvl, p + 1) in ready:
+                    return g, (lvl, p), ready.pop((lvl, p)), \
+                        ready.pop((lvl, p + 1))
+        return None
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while True:
+                    if self.failed:
+                        return
+                    pair = self._pop_pair()
+                    if pair is not None:
+                        break
+                    if self._done:
+                        self._cv.notify_all()
+                        return
+                    self._cv.wait()
+            g, (lvl, p), a, b = pair
+            try:
+                merged = _reduce_streams_once([a, b])
+            except FusedFallback as e:
+                with self._cv:
+                    self.failed = str(e)
+                    self._ready = {True: {}, False: {}}
+                    self._cv.notify_all()
+                return
+            except Exception as e:  # pragma: no cover - defensive
+                with self._cv:
+                    self.failed = f"{type(e).__name__}: {e}"
+                    self._ready = {True: {}, False: {}}
+                    self._cv.notify_all()
+                return
+            with self._cv:
+                node = (lvl + 1, p // 2)
+                self._ready[g][node] = merged
+                self._settle(g, node)
+                self._cv.notify_all()
+
+    def resident_bytes(self) -> int:
+        with self._cv:
+            return sum(
+                s.blob.shape[0] * (4 * s.blob.shape[1] + 4)
+                for g in (True, False) for s in self._ready[g].values()
+            )
+
+    def result(self) -> list[ResidentStream] | None:
+        """[control_stream, case_stream] once the worker has folded each
+        group to one stream (blocks for the tail of the reduction), or
+        None if reduction failed or either group is empty."""
+        with self._cv:
+            self._done = True
+            self._cv.notify_all()
+        self._worker.join()
+        with self._cv:
+            if self.failed:
+                return None
+            out = []
+            for g in (True, False):
+                top = len(self._sizes[g]) - 1
+                st = self._ready[g].get((top, 0))
+                if st is None:
+                    return None
+                out.append(st)
+            return out
+
+    def close(self) -> None:
+        """Stop the worker without consuming the result (fallback paths)."""
+        with self._cv:
+            self._done = True
+            self._cv.notify_all()
+        self._worker.join()
+
+
 def fused_merge(
     processor,
     accumulators,
@@ -817,8 +1158,13 @@ def fused_merge(
     sampler=None,
     save_matrix_dir=None,
     M: int | None = None,
+    nb_ctrl_streams: int | None = None,
 ):
     """Run the merge+LRT over resident streams in global key-range chunks.
+
+    nb_ctrl_streams: how many leading streams carry CONTROL counts for
+    the packed ctrl-bit (defaults to the processor's control count; the
+    group-merge path passes 1 — its stream 0 is the control-group sum).
 
     Returns (total_kmers, nb_sign, sign_controls, sign_cases)."""
     S = len(streams)
@@ -832,6 +1178,7 @@ def fused_merge(
 
     mesh = get_mesh()
     D = mesh.devices.size if mesh is not None else 1
+    nbc = processor.nb_controls if nb_ctrl_streams is None else nb_ctrl_streams
 
     # clamp-free dynamic_slice needs blob capacity >= U + M per stream;
     # streams counted with a smaller slack cap M down to what they allow
@@ -851,75 +1198,12 @@ def fused_merge(
         mode = "p16" if max(s.max_count for s in streams) < 0x8000 else "p32"
     else:
         mode = "full"
+    if nb_ctrl_streams is not None and not packed:
+        raise ValueError("group streams require the packed path")
 
-    split = _pick_split_lane(streams, L)
-    total_rows = sum(s.U for s in streams)
-    max_U = max(s.U for s in streams)
-    Us = np.array([s.U for s in streams], np.int64)
     blobs = tuple(s.blob for s in streams)
     counts_t = tuple(s.counts for s in streams)
-    if split >= L:
-        starts = np.zeros((1, S), np.int32)
-        lens = np.array([[s.U for s in streams]], np.int32)
-        if max_U > M:
-            raise FusedFallback("degenerate key space exceeds chunk budget")
-    else:
-        # pooled subsampled keys -> quantile bounds on the split lane;
-        # exact per-stream positions via ONE batched device searchsorted.
-        # Chunks target 7/8-full S*M buffers (the kernel sorts the whole
-        # buffer including sentinel fill, so fill ratio IS sort
-        # efficiency); the per-stream-extent seed term covers skewed
-        # cohorts in the first attempt
-        _, bounds_pos, subsample_split = _get_batched_helpers()
-        sub_all = np.asarray(subsample_split(blobs, split=split))
-        pool = sub_all[sub_all != 0xFFFFFFFF]
-        if pool.size == 0:
-            pool = np.zeros(1, np.uint32)
-        target = max(1, (S * M * 7) // 8)
-        n_chunks = max(
-            1,
-            -(-total_rows // target),
-            -(-(max_U * 8) // max(7 * M, 1)),
-        )
-        if D > 1:
-            # at least one chunk per device, in device-count multiples so
-            # every sharded dispatch keeps the whole mesh busy (quantile
-            # ties can still drop bounds; the pad below restores the
-            # multiple with empty chunks)
-            n_chunks = -(-n_chunks // D) * D
-        for _attempt in range(6):
-            if n_chunks == 1:
-                starts = np.zeros((1, S), np.int32)
-                lens = np.array([[s.U for s in streams]], np.int32)
-                if int(lens.max()) <= M:
-                    break
-                n_chunks = 2
-                continue
-            qs = np.quantile(pool, np.linspace(0, 1, n_chunks + 1)[1:-1])
-            bounds = np.unique(qs.astype(np.uint64).astype(np.uint32))
-            # pad the query to a pow2 bucket (bounded compiled-shape set);
-            # sentinel queries land past every real key and are sliced off
-            B = len(bounds)
-            Bp = 1 << max(4, (max(B, 1) - 1).bit_length())
-            bd = np.full(Bp, 0xFFFFFFFF, np.uint32)
-            bd[:B] = bounds
-            pos_all = np.asarray(
-                bounds_pos(blobs, jnp.asarray(bd), split=split)
-            )[:B]
-            pos = np.minimum(pos_all.astype(np.int64), Us[None, :])
-            ends = np.concatenate([pos, Us[None, :]], axis=0)
-            starts = np.concatenate(
-                [np.zeros((1, S), np.int64), pos], axis=0
-            ).astype(np.int32)
-            lens = (ends - starts).astype(np.int32)
-            if int(lens.max()) <= M:
-                break
-            n_chunks *= 2
-        else:
-            raise FusedFallback(
-                f"key-range split failed (max extent {int(lens.max())} > "
-                f"chunk budget {M})"
-            )
+    starts, lens = plan_key_chunks(streams, M, D)
 
     shim = None
     geno_parts: list[np.ndarray] = []
@@ -980,6 +1264,7 @@ def fused_merge(
                     proc, mesh, blobs, counts_t, st_g, ln_g,
                     ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
                     M, mode, want_geno, want_rows, wide, S, L, sampler_,
+                    nbc,
                 )
 
             pre = {
@@ -998,7 +1283,7 @@ def fused_merge(
                 return _fused_group_dispatch(
                     proc, blobs, counts_t, st_g, ln_g,
                     ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
-                    M, mode, S, L, group,
+                    M, mode, S, L, group, nbc,
                 )
 
             pre = {
@@ -1018,7 +1303,7 @@ def fused_merge(
                 return fused_kernel(
                     blobs, counts_t, st_d, ln_d,
                     ratio_c, ratio_k, lr_min, pca_thr, pca_seed,
-                    M=M, nb_controls=processor.nb_controls, mode=mode,
+                    M=M, nb_controls=nbc, mode=mode,
                     max_hits=max_hits, max_geno=max_geno,
                     want_geno=want_geno, nb_samples=S, want_rows=want_rows,
                     wide=wide, mblob=mblob,

@@ -449,18 +449,45 @@ class PartitionProcessor:
 
         mesh = get_mesh()
         budget = MAX_DEVICE_ROWS * (mesh.devices.size if mesh is not None else 1)
+        nbc = None
+        want_geno = self.sampler is not None
+        want_rows = self.keep_counts or self.save_matrix_path is not None
+        if (not (want_geno or want_rows or self.params.wide_sums)
+                and 1 <= self.nb_controls < len(kmers_list)
+                and len(kmers_list) > 2
+                and __import__("os").environ.get(
+                    "KMDIFF_GROUP_SUM", "1") != "0"):
+            # the packed kernel consumes only per-GROUP sums
+            # (model.hpp:145-146), so controls and cases pre-sum on host
+            # through the native k-way counted-stream merge before
+            # anything ships: upload rows shrink by the cohort's
+            # duplication factor, and the device sorts ~2 rows per
+            # distinct k-mer instead of one per carrying sample. Exact
+            # integer sums -> byte-identical survivors.
+            t0 = time.perf_counter()
+            from kmdiff_tpu.pipeline.count import _merge_streams
+
+            nc = self.nb_controls
+            ctrl = _merge_streams(list(zip(kmers_list[:nc], counts_list[:nc])))
+            case = _merge_streams(list(zip(kmers_list[nc:], counts_list[nc:])))
+            kmers_list = [ctrl[0], case[0]]
+            counts_list = [ctrl[1], case[1]]
+            nbc = 1
+            self.phases.add("groupsum", time.perf_counter() - t0)
         N_real = int(sum(len(k) for k in kmers_list))
         if N_real > budget:
             return self._process_device_merge_chunked(
-                partition, kmers_list, counts_list, acc, ksize, budget
+                partition, kmers_list, counts_list, acc, ksize, budget,
+                nbc=nbc,
             )
         return self._device_merge_chunk(
-            partition, kmers_list, counts_list, acc, ksize, finish=True
+            partition, kmers_list, counts_list, acc, ksize, finish=True,
+            nbc=nbc,
         )
 
     def _process_device_merge_chunked(
         self, partition, kmers_list, counts_list, acc, ksize,
-        budget=MAX_DEVICE_ROWS,
+        budget=MAX_DEVICE_ROWS, nbc=None,
     ) -> PartitionResult:
         """Split the partition at common k-mer boundaries so every chunk
         is an independent sub-partition of bounded size.
@@ -511,6 +538,7 @@ class PartitionProcessor:
                     self._device_merge_chunk(
                         partition, sub_k, sub_c, acc, ksize, finish=False,
                         sampler_override=shim, matrix_sink=matrix_sink,
+                        nbc=nbc,
                     )
                 )
         else:
@@ -526,7 +554,8 @@ class PartitionProcessor:
             def build(c):
                 sub_k, sub_c = chunk_slices(c)
                 pre = self._build_single_operands(
-                    sub_k, sub_c, want_geno, want_rows, wide, slot=c % 2
+                    sub_k, sub_c, want_geno, want_rows, wide, slot=c % 2,
+                    nbc=nbc,
                 )
                 return sub_k, sub_c, pre
 
@@ -541,7 +570,7 @@ class PartitionProcessor:
                     self._device_merge_chunk(
                         partition, sub_k, sub_c, acc, ksize, finish=False,
                         sampler_override=shim, matrix_sink=matrix_sink,
-                        prebuilt=pre,
+                        prebuilt=pre, nbc=nbc,
                     )
                 )
         if self.sampler is not None:
@@ -578,7 +607,7 @@ class PartitionProcessor:
 
     def _device_merge_chunk(
         self, partition, kmers_list, counts_list, acc, ksize, finish=True,
-        sampler_override=None, matrix_sink=None, prebuilt=None,
+        sampler_override=None, matrix_sink=None, prebuilt=None, nbc=None,
     ) -> PartitionResult:
         from kmdiff_tpu.ops.merge_dev import lanes_to_words
         from kmdiff_tpu.parallel.runtime import get_mesh
@@ -598,12 +627,12 @@ class PartitionProcessor:
         elif mesh is not None:
             disp = self._dispatch_mesh(
                 mesh, kmers_list, counts_list, sampler, want_geno, want_rows,
-                wide,
+                wide, nbc=nbc,
             )
         else:
             disp = self._dispatch_single(
                 kmers_list, counts_list, sampler, want_geno, want_rows, wide,
-                prebuilt=prebuilt,
+                prebuilt=prebuilt, nbc=nbc,
             )
         n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows = disp
         n_hits = len(s_c)
@@ -698,7 +727,8 @@ class PartitionProcessor:
         return lanes, s_c, s_k
 
     def _build_single_operands(
-        self, kmers_list, counts_list, want_geno, want_rows, wide, slot=0
+        self, kmers_list, counts_list, want_geno, want_rows, wide, slot=0,
+        nbc=None,
     ):
         """Build one chunk's triples and ship them to the device. Runs on
         the caller's thread — a chunk-prefetch thread overlaps this (host
@@ -716,6 +746,8 @@ class PartitionProcessor:
         )
 
         t0 = time.perf_counter()
+        if nbc is None:
+            nbc = self.nb_controls
         N_real = int(sum(len(k) for k in kmers_list))
         pad_to = 1 << max(12, (max(N_real, 1) - 1).bit_length())
         # fast narrow path: control bit packed into the count lane, no
@@ -730,14 +762,14 @@ class PartitionProcessor:
                 # sub-sorts in the kernel (A/B'd in bench.py; falls back
                 # to the flat build on quantile skew or small chunks)
                 res = build_triples_packed_ranged(
-                    kmers_list, counts_list, pad_to, self.nb_controls,
+                    kmers_list, counts_list, pad_to, nbc,
                     pack16=pack16, slot=slot,
                 )
                 if res is not None:
                     lanes, count, _, range_rows = res
             if lanes is None:
                 lanes, count, _ = build_triples_packed(
-                    kmers_list, counts_list, pad_to, self.nb_controls,
+                    kmers_list, counts_list, pad_to, nbc,
                     pack16=pack16, slot=slot,
                 )
             sample = np.zeros(1, np.int32)
@@ -757,7 +789,7 @@ class PartitionProcessor:
 
     def _dispatch_single(
         self, kmers_list, counts_list, sampler, want_geno, want_rows, wide,
-        prebuilt=None,
+        prebuilt=None, nbc=None,
     ):
         """One-device merge kernel dispatch with overflow retry."""
         import jax.numpy as jnp
@@ -766,7 +798,8 @@ class PartitionProcessor:
 
         if prebuilt is None:
             prebuilt = self._build_single_operands(
-                kmers_list, counts_list, want_geno, want_rows, wide
+                kmers_list, counts_list, want_geno, want_rows, wide,
+                nbc=nbc,
             )
             self.phases.add("build", prebuilt["build_s"])
         # a prebuilt dispatch_fn (the fused pipeline's assemble+merge
@@ -865,7 +898,7 @@ class PartitionProcessor:
 
     def _dispatch_mesh(
         self, mesh, kmers_list, counts_list, sampler, want_geno, want_rows,
-        wide,
+        wide, nbc=None,
     ):
         """Mesh-sharded merge: split this chunk's triples at k-mer key
         ranges (free — sample streams are sorted), one range per device;
@@ -884,6 +917,8 @@ class PartitionProcessor:
 
         D = mesh.devices.size
         S = len(kmers_list)
+        if nbc is None:
+            nbc = self.nb_controls
 
         t0 = time.perf_counter()
         # D ascending key ranges over the concatenated first-word keys
@@ -926,7 +961,7 @@ class PartitionProcessor:
             sub_c = [ct[a:b] for ct, (a, b) in zip(counts_list, per_sample)]
             if packed:
                 lanes_d, count_d, _ = build_triples_packed(
-                    sub_k, sub_c, cap, self.nb_controls, pack16=pack16
+                    sub_k, sub_c, cap, nbc, pack16=pack16
                 )
             else:
                 lanes_d, sample_d, count_d, _ = build_triples(sub_k, sub_c, cap)

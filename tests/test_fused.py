@@ -376,6 +376,29 @@ def test_fused_small_k_degenerate_hi_lane(cohort, tmp_path, monkeypatch):
     assert res["total_kmers"] > 0
 
 
+def test_fused_group_reduction_chunked(cohort, tmp_path, monkeypatch):
+    """A tiny sort ceiling forces the group pre-aggregation through the
+    chunked in-place-append path (plan_key_chunks + donated
+    dynamic_update_slice appends) — byte-identical to the two-stage
+    flow."""
+    import kmdiff_tpu.pipeline.fused as fmod
+
+    monkeypatch.setattr(fmod, "SORT_CEILING", 1 << 13)
+    monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 9)
+    res = _run_both(cohort, tmp_path, monkeypatch)
+    assert res["total_kmers"] > 0
+    assert res["control"] + res["case"] > 0
+
+
+def test_fused_group_merge_off_matches(cohort, tmp_path, monkeypatch):
+    """KMDIFF_GROUP_MERGE=0 keeps the per-sample merge; outputs match the
+    two-stage flow (the default group path is pinned by every other test
+    in this file)."""
+    monkeypatch.setenv("KMDIFF_GROUP_MERGE", "0")
+    res = _run_both(cohort, tmp_path, monkeypatch)
+    assert res["total_kmers"] > 0
+
+
 def test_run_fused_on_mesh(cohort, tmp_path, monkeypatch):
     """n_devices=0 resolves the 8-device test mesh; the fused path now
     serves it directly (key-range chunks sharded one-per-device over the
