@@ -173,15 +173,20 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
 
     # group pre-aggregation (pipeline.fused.GroupReducer): when the merge
     # will take the packed path (no popstrat/save-sk), controls and cases
-    # dedup-sum to ONE stream each on a background thread DURING counting
-    # (the count loop is upload-latency-bound; dedup dispatches fill the
-    # idle device) — the final merge then sorts ~2 rows per distinct
-    # k-mer instead of one per carrying sample, cutting its device time
-    # by the cohort's duplication factor. Exact integer sums: outputs
-    # byte-identical.
+    # dedup-sum toward ONE stream each on a background thread DURING
+    # counting; the merge then sorts ~2 rows per distinct k-mer instead
+    # of one per carrying sample. Exact integer sums: outputs
+    # byte-identical (tests/test_fused.py). Default OFF on this rig: the
+    # reduction is ~1.8x the flat merge's device rows, and with
+    # synchronous dispatch its overlap with the upload-bound count loop
+    # is capped — interleaved A/Bs (bench/groupmerge_ab.py) measured the
+    # fully-reduced merge at 0.53 s vs 1.9 s flat but e2e a wash or
+    # worse (12.5-20.0 s vs 12.8-22.2 s totals) once the reduction tail
+    # and dispatch contention are paid. Opt-in for hosts with async
+    # dispatch, where the reduction genuinely rides idle device time.
     reducer = (
         GroupReducer(dopt.nb_controls, dopt.nb_cases)
-        if (os.environ.get("KMDIFF_GROUP_MERGE", "1") != "0"
+        if (os.environ.get("KMDIFF_GROUP_MERGE", "0") == "1"
             and not dopt.pop_correction
             and not dopt.save_sk
             and dopt.nb_controls >= 1 and dopt.nb_cases >= 1)
@@ -348,13 +353,15 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     if reducer is not None:
         group_streams = reducer.result()
         if group_streams is not None:
-            merge_streams = group_streams
-            merge_M = None  # sized for S=2 by fused_merge
-            nb_ctrl_streams = 1
+            ctrl_list, case_list = group_streams
+            merge_streams = ctrl_list + case_list
+            merge_M = None  # sized for the reduced stream count
+            nb_ctrl_streams = len(ctrl_list)
             logger.info(
-                "Group-summed streams: %d + %d distinct "
-                "(controls + cases).",
-                group_streams[0].U, group_streams[1].U,
+                "Group-reduced streams: %d control + %d case "
+                "(%d distinct rows).",
+                len(ctrl_list), len(case_list),
+                sum(s.U for s in merge_streams),
             )
         elif reducer.failed:
             logger.info(

@@ -1043,6 +1043,7 @@ class GroupReducer:
             True: {}, False: {},
         }
         self._done = False
+        self._stop = False
         self.failed: str | None = None
         self._cv = threading.Condition()
         self._worker = threading.Thread(
@@ -1084,7 +1085,8 @@ class GroupReducer:
         while True:
             with self._cv:
                 while True:
-                    if self.failed:
+                    if self.failed or self._stop:
+                        self._cv.notify_all()
                         return
                     pair = self._pop_pair()
                     if pair is not None:
@@ -1121,30 +1123,32 @@ class GroupReducer:
                 for g in (True, False) for s in self._ready[g].values()
             )
 
-    def result(self) -> list[ResidentStream] | None:
-        """[control_stream, case_stream] once the worker has folded each
-        group to one stream (blocks for the tail of the reduction), or
-        None if reduction failed or either group is empty."""
+    def result(self) -> tuple[list, list] | None:
+        """SNAPSHOT of the reduction: stop the worker after its in-flight
+        merge and return the current per-group stream lists
+        (controls, cases). The merge handles any stream count per group
+        (nb_ctrl_streams), so waiting for the full fold would only
+        serialize the reduction's log(S)-level tail — gated on the LAST
+        counted samples — into the merge phase (measured ~2 s of the
+        3.3 s merge window, bench/groupmerge_ab.py). None if reduction
+        failed or either group is empty."""
         with self._cv:
-            self._done = True
+            self._stop = True
             self._cv.notify_all()
         self._worker.join()
         with self._cv:
             if self.failed:
                 return None
-            out = []
-            for g in (True, False):
-                top = len(self._sizes[g]) - 1
-                st = self._ready[g].get((top, 0))
-                if st is None:
-                    return None
-                out.append(st)
-            return out
+            ctrl = [s for _n, s in sorted(self._ready[True].items())]
+            case = [s for _n, s in sorted(self._ready[False].items())]
+            if not ctrl or not case:
+                return None
+            return ctrl, case
 
     def close(self) -> None:
         """Stop the worker without consuming the result (fallback paths)."""
         with self._cv:
-            self._done = True
+            self._stop = True
             self._cv.notify_all()
         self._worker.join()
 

@@ -383,6 +383,7 @@ def test_fused_group_reduction_chunked(cohort, tmp_path, monkeypatch):
     flow."""
     import kmdiff_tpu.pipeline.fused as fmod
 
+    monkeypatch.setenv("KMDIFF_GROUP_MERGE", "1")
     monkeypatch.setattr(fmod, "SORT_CEILING", 1 << 13)
     monkeypatch.setattr(fmod, "CHUNK_ROWS", 1 << 9)
     res = _run_both(cohort, tmp_path, monkeypatch)
@@ -390,11 +391,10 @@ def test_fused_group_reduction_chunked(cohort, tmp_path, monkeypatch):
     assert res["control"] + res["case"] > 0
 
 
-def test_fused_group_merge_off_matches(cohort, tmp_path, monkeypatch):
-    """KMDIFF_GROUP_MERGE=0 keeps the per-sample merge; outputs match the
-    two-stage flow (the default group path is pinned by every other test
-    in this file)."""
-    monkeypatch.setenv("KMDIFF_GROUP_MERGE", "0")
+def test_fused_group_merge_on_matches(cohort, tmp_path, monkeypatch):
+    """KMDIFF_GROUP_MERGE=1 (opt-in reducer, single-dispatch rounds)
+    matches the two-stage flow byte-for-byte."""
+    monkeypatch.setenv("KMDIFF_GROUP_MERGE", "1")
     res = _run_both(cohort, tmp_path, monkeypatch)
     assert res["total_kmers"] > 0
 
