@@ -27,21 +27,29 @@ def main():
     _ = int(blob[0, 0])  # enter sync-dispatch mode like every consumer
     nbytes = rows * 8
 
+    def fresh_slices(rows_per, off):
+        # FRESH device slices each rep: jax Arrays cache their host copy
+        # after the first np.asarray, so reusing a slice list measures
+        # the cache, not the link (first probe version read 20+ GB/s)
+        return [blob[i + off: i + off + rows_per]
+                for i in range(0, rows - rows_per, rows_per)]
+
     for threads, chunk_mb in itertools.product((2, 4, 8, 16), (2, 4, 8, 16)):
         rows_per = max((chunk_mb << 20) // 8, 1)
-        slices = [blob[i: i + rows_per] for i in range(0, rows, rows_per)]
-        # warm once
-        with cf.ThreadPoolExecutor(min(threads, len(slices))) as pool:
-            list(pool.map(np.asarray, slices))
+        # warm compile of the slice shapes
+        with cf.ThreadPoolExecutor(threads) as pool:
+            list(pool.map(np.asarray, fresh_slices(rows_per, 0)))
         t0 = time.perf_counter()
         reps = 2
-        for _ in range(reps):
-            with cf.ThreadPoolExecutor(min(threads, len(slices))) as pool:
-                list(pool.map(np.asarray, slices))
+        for r in range(reps):
+            sl = fresh_slices(rows_per, r + 1)
+            with cf.ThreadPoolExecutor(min(threads, len(sl))) as pool:
+                list(pool.map(np.asarray, sl))
         dt = (time.perf_counter() - t0) / reps
+        nb = (rows - rows_per) * 8
         print(f"[d2h] threads={threads:2d} chunk={chunk_mb:2d}MB: "
-              f"{nbytes/dt/1e6:6.1f} MB/s ({dt*1e3:.0f} ms / "
-              f"{nbytes >> 20} MB)", flush=True)
+              f"{nb/dt/1e6:6.1f} MB/s ({dt*1e3:.0f} ms / "
+              f"{nb >> 20} MB)", flush=True)
 
 
 if __name__ == "__main__":

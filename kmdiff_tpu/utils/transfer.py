@@ -14,10 +14,14 @@ import concurrent.futures as cf
 
 import numpy as np
 
-#: target bytes per fetch slice
-_CHUNK_BYTES = 4 << 20
+#: target bytes per fetch slice (round-5 grid probe, bench/d2h_probe.py:
+#: 2 MB slices at 8 streams sustained ~28-34 MB/s vs ~15-34 for the old
+#: 4 MB x 4 — noisy rig, but no configuration beat 8 x 2 MB consistently
+#: and 16 MB slices were always worst)
+_CHUNK_BYTES = int(__import__("os").environ.get(
+    "KMDIFF_FETCH_CHUNK_BYTES", 2 << 20))
 #: max concurrent fetch streams
-_THREADS = 4
+_THREADS = int(__import__("os").environ.get("KMDIFF_FETCH_THREADS", 8))
 
 
 def device_fetch(arr) -> np.ndarray:
