@@ -45,6 +45,21 @@ def _avalanche(h):
     return h
 
 
+
+def _compact_indices(mask, size: int, fill: int):
+    """Ascending indices of the first `size` True rows of [N] mask, `fill`
+    past the count — jnp.nonzero's contract, via a SINGLE-OPERAND i32
+    sort: measured 58 ms vs nonzero's 166 ms at 15.7M rows on the bench
+    rig (nonzero's variadic lowering cost more than the kernel's whole
+    3-operand merge sort). Requires N < 2^30 (every caller's row counts
+    are bounded by the 2^24 sort ceiling)."""
+    n = mask.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, i, i | jnp.int32(0x40000000))
+    s = jax.lax.sort(key)[:size]
+    return jnp.where(s < jnp.int32(0x40000000), s, jnp.int32(fill))
+
+
 def merge_lrt_local(
     lanes, sample, count,
     nb_controls: int,
@@ -235,12 +250,11 @@ def merge_lrt_local(
         ))
         f_c, f_k = s_c, s_k
 
-    lr = _lr_from_sums(f_c, f_k, ratio_c, ratio_k)
     tot = f_c.astype(jnp.float32) + f_k.astype(jnp.float32)
+    lr = _lr_from_sums(f_c, f_k, ratio_c, ratio_k)
     keep = is_start & (lr + MARGIN_PER_COUNT * tot + MARGIN_ABS >= lr_min)
-
     n_hits = jnp.sum(keep, dtype=jnp.int32)
-    hit_start = jnp.nonzero(keep, size=max_hits, fill_value=N - 1)[0]
+    hit_start = _compact_indices(keep, max_hits, N - 1)
     # lanes + sums stack into one [max_hits, R] u32 blob: a single fetch
     # (and a single device-side slice) moves every survivor column off the
     # device — per-column fetches each paid a slice + astype + transfer
@@ -302,7 +316,7 @@ def merge_lrt_local(
             h = _avalanche(l ^ h)
         sampled = is_start & (h < pca_threshold_u32)
         out["n_geno"] = jnp.sum(sampled, dtype=jnp.int32)
-        geno_start = jnp.nonzero(sampled, size=max_geno, fill_value=N - 1)[0]
+        geno_start = _compact_indices(sampled, max_geno, N - 1)
         out["geno_rows"] = (dense_rows(geno_start, max_geno) > 0).astype(
             jnp.uint8
         )
