@@ -277,10 +277,10 @@ def _finalize_resident(stats_h, blob, counts, uvec, total_mass, hard_min,
 #: were measured against the round-3 pool-per-sample counting flow; the
 #: shipped flow is now cmd/run.py's WAVE loop (FASTA decode on the
 #: thread pool, uploads/dispatches/stats reads serial on the wave
-#: thread), and a fresh interleaved A/B against THAT flow
-#: (bench/batch_ab.py --wave) confirmed grouping is still not a win
-#: (see bench/README.md round-5 notes). Kept opt-in for deployments
-#: where per-transfer cost dominates.
+#: thread), and a fresh round-5 interleaved A/B of bench/batch_ab.py —
+#: which drives main_run, i.e. the wave flow — re-confirmed grouping is
+#: not a win (numbers in bench/README.md round-5 notes). Kept opt-in
+#: for deployments where per-transfer cost dominates.
 BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 1))
 
 
