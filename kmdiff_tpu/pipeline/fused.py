@@ -277,10 +277,13 @@ def _finalize_resident(stats_h, blob, counts, uvec, total_mass, hard_min,
 #: were measured against the round-3 pool-per-sample counting flow; the
 #: shipped flow is now cmd/run.py's WAVE loop (FASTA decode on the
 #: thread pool, uploads/dispatches/stats reads serial on the wave
-#: thread), and a fresh round-5 interleaved A/B of bench/batch_ab.py —
-#: which drives main_run, i.e. the wave flow — re-confirmed grouping is
-#: not a win (numbers in bench/README.md round-5 notes). Kept opt-in
-#: for deployments where per-transfer cost dominates.
+#: thread). A round-5 re-run of bench/batch_ab.py — which drives
+#: main_run, i.e. the wave flow — measured grouped counts at
+#: 9.1/7.6/10.1 s vs per-sample 9.4/10.7/12.0 s across three pairs, but
+#: inside a monotonically degrading rig window that favors the
+#: first-run side: parity-to-slightly-faster, not an established win.
+#: Default stays off; re-evaluate per deployment where per-transfer
+#: cost dominates.
 BATCH = int(os.environ.get("KMDIFF_FUSED_BATCH", 1))
 
 
