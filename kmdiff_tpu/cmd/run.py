@@ -232,6 +232,13 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     # wave (count_samples_resident_batched: grouped uploads + one stats
     # read per group), FASTA decode parallelizes across the thread pool
     WAVE = 16
+    # dispatch threads WITHIN a wave: each sample's count costs an upload
+    # (~290 ms fixed+bytes on the tunnel) + dispatch + stats read run
+    # serially per thread; a few threads pipeline those fixed costs while
+    # the wave still bounds decoded-code memory. Interleaved A/B pairs on
+    # the bench rig (bench/README.md round-5): counting phase
+    # 10.1/9.1/9.1 s at 1 thread vs 8.2/6.1/5.4 s at 3.
+    dispatch_threads = int(os.environ.get("KMDIFF_COUNT_DISPATCH", 3))
     waves = [
         list(range(w, min(w + WAVE, len(fof.entries))))
         for w in range(0, len(fof.entries), WAVE)
@@ -245,11 +252,26 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
             codes_list = [f.result() for f in futs]
             if w + 1 < len(waves):
                 futs = [pool.submit(load_codes, i) for i in waves[w + 1]]
-            count_samples_resident_batched(
-                codes_list, copt.kmer_size,
-                [hard_mins[i] for i in idx], chunk_rows,
-                on_ready=lambda j, st, idx=idx: on_ready(idx[j], st),
-            )
+            if dispatch_threads > 1:
+                from kmdiff_tpu.pipeline.fused import count_sample_resident
+
+                def one(j, idx=idx, codes_list=codes_list):
+                    st = count_sample_resident(
+                        codes_list[j], copt.kmer_size,
+                        hard_mins[idx[j]], slack=chunk_rows,
+                    )
+                    on_ready(idx[j], st)
+
+                with cf.ThreadPoolExecutor(
+                    dispatch_threads, thread_name_prefix="kmdiff-count"
+                ) as dpool:
+                    list(dpool.map(one, range(len(idx))))
+            else:
+                count_samples_resident_batched(
+                    codes_list, copt.kmer_size,
+                    [hard_mins[i] for i in idx], chunk_rows,
+                    on_ready=lambda j, st, idx=idx: on_ready(idx[j], st),
+                )
     resident = sum(
         st.blob.shape[0] * (4 * st.blob.shape[1] + 4) for st in streams
     )
