@@ -645,7 +645,7 @@ def main() -> None:
         log(f"[bench] popstrat measurement failed: {e!r}")
     if "--no-pipeline" not in sys.argv:
         try:
-            extra = measure_pipeline(baseline)
+            extra.update(measure_pipeline(baseline))
         except Exception as e:  # pipeline stage is supplementary
             log(f"[bench] pipeline measurement failed: {e!r}")
     print(json.dumps({

@@ -89,7 +89,13 @@ def main_run(copt: CountOptions, dopt: DiffOptions,
     except Exception as e:
         from kmdiff_tpu.pipeline.fused import FusedFallback
 
-        if not isinstance(e, FusedFallback):
+        # a device allocation failure (e.g. concurrent dispatch threads'
+        # transient sort buffers on a near-budget cohort) is recoverable
+        # exactly like a FusedFallback: the two-stage flow streams through
+        # host memory instead
+        oom = (type(e).__name__ == "XlaRuntimeError"
+               and "RESOURCE_EXHAUSTED" in str(e))
+        if not isinstance(e, FusedFallback) and not oom:
             raise
         logger.warning(
             "fused pipeline unavailable (%s); running the standard "
@@ -168,6 +174,11 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     #   overlap — submit as each sample lands (round-3/4 behavior; right
     #     for hosts whose D2H does not contend with dispatch).
     spill_mode = os.environ.get("KMDIFF_SPILL_MODE", "after-count")
+    if spill_mode not in ("overlap", "after-count"):
+        logger.warning(
+            "unknown KMDIFF_SPILL_MODE=%r; using 'after-count'.", spill_mode
+        )
+        spill_mode = "after-count"
     deferred_spills: list[tuple] = []
     hard_mins = [e.ab_min or copt.hard_min for e in fof.entries]
 
@@ -252,7 +263,9 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
             codes_list = [f.result() for f in futs]
             if w + 1 < len(waves):
                 futs = [pool.submit(load_codes, i) for i in waves[w + 1]]
-            if dispatch_threads > 1:
+            from kmdiff_tpu.pipeline import fused as _fmod
+
+            if dispatch_threads > 1 and _fmod.BATCH <= 1:
                 from kmdiff_tpu.pipeline.fused import count_sample_resident
 
                 def one(j, idx=idx, codes_list=codes_list):
@@ -291,8 +304,10 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         if reducer is not None:
             reducer.close()
         if spill_pool is not None:
-            for job in deferred_spills:
-                spill_futs.append(spill_pool.submit(_spill_sample, *job))
+            while deferred_spills:
+                spill_futs.append(
+                    spill_pool.submit(_spill_sample, *deferred_spills.pop())
+                )
             for f in spill_futs:
                 f.result()
             spill_pool.shutdown(wait=True)
@@ -302,9 +317,13 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         )
     if spill_pool is not None and deferred_spills:
         # counting is off the tunnel now — start the background spill; it
-        # overlaps the merge + correction phases and is joined at the end
-        for job in deferred_spills:
-            spill_futs.append(spill_pool.submit(_spill_sample, *job))
+        # overlaps the merge + correction phases and is joined at the end.
+        # The queue is consumed (drained) so later cleanup paths can never
+        # double-submit a sample's spill.
+        while deferred_spills:
+            spill_futs.append(
+                spill_pool.submit(_spill_sample, *deferred_spills.pop())
+            )
 
     # ---- diff over resident streams ---------------------------------------
     from kmdiff_tpu.cmd.diff import _make_accumulators, do_correction
@@ -363,6 +382,23 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
         read=False, nb_samples=nb_samples,
     )
 
+    def _abort_cleanup():
+        """A post-count FusedFallback hands control to the standard
+        flow, which re-reads (or rebuilds) the run dir — in-flight spill
+        threads and the reducer worker must be fully drained first or
+        main_count would race the spill writers over the same count
+        files."""
+        if reducer is not None:
+            reducer.close()
+        if spill_pool is not None:
+            while deferred_spills:
+                spill_futs.append(
+                    spill_pool.submit(_spill_sample, *deferred_spills.pop())
+                )
+            for f in spill_futs:
+                f.result()
+            spill_pool.shutdown(wait=True)
+
     merge_timer = Timer()
     logger.info("Process resident streams")
     # pick the merge input: the reducer's 2 group streams when available
@@ -390,11 +426,15 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
                 "group pre-aggregation unavailable (%s); merging "
                 "per-sample streams.", reducer.failed,
             )
-    total_kmers, nb_sign, sign_controls, sign_cases = fused_merge(
-        processor, accumulators, merge_streams, copt.kmer_size,
-        nb_partitions, sampler=sampler, save_matrix_dir=save_dir,
-        M=merge_M, nb_ctrl_streams=nb_ctrl_streams,
-    )
+    try:
+        total_kmers, nb_sign, sign_controls, sign_cases = fused_merge(
+            processor, accumulators, merge_streams, copt.kmer_size,
+            nb_partitions, sampler=sampler, save_matrix_dir=save_dir,
+            M=merge_M, nb_ctrl_streams=nb_ctrl_streams,
+        )
+    except FusedFallback:
+        _abort_cleanup()
+        raise
     del merge_streams
     if sampler is not None:
         sampler.close()

@@ -52,8 +52,14 @@ def _compact_indices(mask, size: int, fill: int):
     sort: measured 58 ms vs nonzero's 166 ms at 15.7M rows on the bench
     rig (nonzero's variadic lowering cost more than the kernel's whole
     3-operand merge sort). Requires N < 2^30 (every caller's row counts
-    are bounded by the 2^24 sort ceiling)."""
+    are bounded by the 2^24 sort ceiling; enforced because the row
+    budgets are env-tunable and index bit 30 is the discard flag)."""
     n = mask.shape[0]
+    if n >= 1 << 30:
+        raise ValueError(
+            f"_compact_indices supports < 2^30 rows, got {n} "
+            f"(lower KMDIFF_MAX_DEVICE_ROWS / chunk-rows overrides)"
+        )
     i = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(mask, i, i | jnp.int32(0x40000000))
     s = jax.lax.sort(key)[:size]

@@ -670,10 +670,17 @@ def _fused_mesh_dispatch(
             not want_geno or int(n_geno_d.max()) <= max_geno
         ):
             break
-        max_hits = min(cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length())
+        # grow ONLY the overflowed budget: shrinking the other to its
+        # current count would change the compiled shape for nothing (a
+        # 40-90 s remote recompile per shape)
+        max_hits = max(
+            max_hits,
+            min(cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length()),
+        )
         if want_geno:
-            max_geno = min(
-                cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()
+            max_geno = max(
+                max_geno,
+                min(cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()),
             )
     n_distinct = int(meta_d[:, 0].sum())
     proc.phases.add("device", time.perf_counter() - t0)

@@ -864,9 +864,16 @@ class PartitionProcessor:
             n_distinct, n_hits, n_geno = int(meta[0]), int(meta[1]), int(meta[2])
             if n_hits <= max_hits and (not want_geno or n_geno <= max_geno):
                 break
-            max_hits = min(pad_to, 1 << max(n_hits - 1, 1).bit_length())
+            # grow ONLY the overflowed budget (shrinking the other
+            # recompiles for nothing)
+            max_hits = max(
+                max_hits, min(pad_to, 1 << max(n_hits - 1, 1).bit_length())
+            )
             if want_geno:
-                max_geno = min(pad_to, 1 << max(n_geno - 1, 1).bit_length())
+                max_geno = max(
+                    max_geno,
+                    min(pad_to, 1 << max(n_geno - 1, 1).bit_length()),
+                )
 
         from kmdiff_tpu.utils.transfer import fetch_prefix
 
@@ -1000,12 +1007,14 @@ class PartitionProcessor:
                 not want_geno or int(n_geno_d.max()) <= max_geno
             ):
                 break
-            max_hits = min(
-                cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length()
+            max_hits = max(
+                max_hits,
+                min(cap, 1 << max(int(n_hits_d.max()) - 1, 1).bit_length()),
             )
             if want_geno:
-                max_geno = min(
-                    cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()
+                max_geno = max(
+                    max_geno,
+                    min(cap, 1 << max(int(n_geno_d.max()) - 1, 1).bit_length()),
                 )
 
         n_distinct = int(np.asarray(out["totals"])[0])
