@@ -62,7 +62,13 @@ def _compact_indices(mask, size: int, fill: int):
         )
     i = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(mask, i, i | jnp.int32(0x40000000))
-    s = jax.lax.sort(key)[:size]
+    s = jax.lax.sort(key)
+    if size > n:  # budgets never exceed the row count in the kernels,
+        # but honor nonzero's full contract (pad slots -> fill)
+        s = jnp.concatenate(
+            [s, jnp.full(size - n, 0x40000000, jnp.int32)]
+        )
+    s = s[:size]
     return jnp.where(s < jnp.int32(0x40000000), s, jnp.int32(fill))
 
 

@@ -479,3 +479,40 @@ def test_run_cli_entrypoint(cohort, tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "out" / "control_kmers.fasta").exists()
+
+
+def test_run_post_count_fallback_drains_spills(cohort, tmp_path,
+                                               monkeypatch):
+    """A FusedFallback raised AFTER counting (merge planning failures)
+    must drain the deferred spill threads before the standard flow takes
+    over — otherwise main_count would race live spill writers over the
+    same count files. The fallback run's outputs and count files must
+    match a plain two-stage run byte-for-byte."""
+    import kmdiff_tpu.pipeline.fused as fmod
+    from kmdiff_tpu.pipeline.fused import FusedFallback
+
+    fof, nc, nk = cohort
+
+    def boom(*a, **k):
+        raise FusedFallback("forced post-count failure")
+
+    monkeypatch.setattr(fmod, "fused_merge", boom)
+    monkeypatch.setattr("kmdiff_tpu.cmd.run.fused_merge", boom,
+                        raising=False)
+    res_f = main_run(
+        _copts(fof, tmp_path / "kc_f"),
+        _dopts(tmp_path / "kc_f", tmp_path / "out_f", nc, nk),
+    )
+    main_count(_copts(fof, tmp_path / "kc_s"))
+    res_s = main_diff(
+        _dopts(tmp_path / "kc_s", tmp_path / "out_s", nc, nk)
+    )
+    assert res_f == res_s
+    for name in ("control_kmers.fasta", "case_kmers.fasta"):
+        assert (tmp_path / "out_f" / name).read_bytes() == \
+            (tmp_path / "out_s" / name).read_bytes()
+    for p in range(4):
+        pdir_f = tmp_path / "kc_f" / "counts" / f"partition_{p}"
+        pdir_s = tmp_path / "kc_s" / "counts" / f"partition_{p}"
+        for n in sorted(os.listdir(pdir_s)):
+            assert (pdir_f / n).read_bytes() == (pdir_s / n).read_bytes()
