@@ -250,6 +250,9 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
     # the bench rig (bench/README.md round-5): counting phase
     # 10.1/9.1/9.1 s at 1 thread vs 8.2/6.1/5.4 s at 3.
     dispatch_threads = int(os.environ.get("KMDIFF_COUNT_DISPATCH", 3))
+    from kmdiff_tpu.pipeline import fused as fmod
+    from kmdiff_tpu.pipeline.fused import count_sample_resident
+
     waves = [
         list(range(w, min(w + WAVE, len(fof.entries))))
         for w in range(0, len(fof.entries), WAVE)
@@ -263,10 +266,7 @@ def _main_run_fused(copt: CountOptions, dopt: DiffOptions,
             codes_list = [f.result() for f in futs]
             if w + 1 < len(waves):
                 futs = [pool.submit(load_codes, i) for i in waves[w + 1]]
-            from kmdiff_tpu.pipeline import fused as _fmod
-
-            if dispatch_threads > 1 and _fmod.BATCH <= 1:
-                from kmdiff_tpu.pipeline.fused import count_sample_resident
+            if dispatch_threads > 1 and fmod.BATCH <= 1:
 
                 def one(j, idx=idx, codes_list=codes_list):
                     st = count_sample_resident(

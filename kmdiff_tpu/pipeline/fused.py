@@ -603,8 +603,6 @@ def _fused_group_dispatch(
     read ONE blob; returns the standard disp tuple (survivors across the
     group concatenate in ascending chunk = ascending k-mer order).
     Overflow retries re-dispatch the whole group at the needed pow2."""
-    import numpy as np
-
     max_hits, _mg = proc._budgets(S * M, False, 0.0)
     kern = _get_fused_group()
     t0 = time.perf_counter()
@@ -645,8 +643,6 @@ def _fused_mesh_dispatch(
     shared post-processing (exact f64 rescore, routing, sampler) is
     identical. Overflow retries re-parameterize the per-device compaction
     budgets exactly like the single-device path."""
-    import numpy as np
-
     from kmdiff_tpu.parallel.merge_step import gather_row_sharded
 
     D = mesh.devices.size
@@ -1023,10 +1019,11 @@ class GroupReducer:
     latency-bound with the device ~70% idle, and dedup dispatches from a
     second thread fill that idle time (a synchronous between-waves drain
     measured as pure serial addition — bench/groupmerge_ab.py round-5
-    A/B). Pairing policy is smallest-two-first (Huffman), which both
-    minimizes total reduced rows and keeps pair sizes under the sort
-    ceiling's single-dispatch path (no planning dispatches, no appends)
-    for typical cohorts.
+    A/B). Pairing is a DETERMINISTIC index bracket (see __init__), which
+    keeps every reduction's concat shape a pure function of the cohort's
+    size buckets so the persistent XLA cache serves them, and keeps pair
+    sizes under the sort ceiling's single-dispatch path (no planning
+    dispatches, no appends) for typical cohorts.
 
     Exactness: group sums are u32 integer additions — associative, so
     any reduction order yields byte-identical sums (and the final merge's

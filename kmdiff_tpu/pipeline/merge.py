@@ -1026,16 +1026,15 @@ class PartitionProcessor:
         # fetches, survivor-sized bytes only)
         from kmdiff_tpu.parallel.merge_step import gather_row_sharded
 
-        def gather(arr, budget, counts_per_dev):
-            return gather_row_sharded(arr, D, budget, counts_per_dev)
-
-        blob = gather(out["hit_blob"], max_hits, n_hits_d)
+        blob = gather_row_sharded(out["hit_blob"], D, max_hits, n_hits_d)
         hit_lanes, s_c, s_k = self._unpack_blob(blob, n_lanes, wide)
         rows_all = (
-            gather(out["hit_rows"], max_hits, n_hits_d) if want_rows else None
+            gather_row_sharded(out["hit_rows"], D, max_hits, n_hits_d)
+            if want_rows else None
         )
         geno_rows = (
-            gather(out["geno_rows"], max_geno, n_geno_d) if want_geno else None
+            gather_row_sharded(out["geno_rows"], D, max_geno, n_geno_d)
+            if want_geno else None
         )
         self.phases.add("fetch", time.perf_counter() - t0)
         return n_distinct, s_c, s_k, hit_lanes, rows_all, geno_rows
